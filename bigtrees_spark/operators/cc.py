@@ -1,0 +1,103 @@
+"""Connected components over an edge DataFrame: alternating large-star /
+small-star (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — public algorithm; see PAPERS.md), the scalable generalization of the
+reference's dupe grouping where components are identified by a shared exact
+hash key (/root/reference/lib/System/Directory/BigTrees/DupeMap.hs:72-126).
+
+Design for 10^12-node scale:
+  * node ids are the url STRINGS and the component label is min(url) — fully
+    deterministic under any partitioning/row order (SURVEY.md §7), no
+    64-bit-hash collision risk at 10^12 docs;
+  * every iteration is two shuffles (groupBy src); lineage is truncated with
+    localCheckpoint() each round so the plan doesn't grow unboundedly;
+  * convergence = edge multiset fixpoint, checked with a cheap count +
+    xxhash64 checksum aggregate (no collect of edges);
+  * large-star/small-star converges in O(log n) rounds and both operations
+    load-balance high-degree nodes by construction (each emits at most one
+    edge per (node, neighbor)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
+    nbrs = _symmetric(edges)
+    m = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+    m = m.withColumn("m", F.least(F.col("mv"), F.col("u"))).select("u", "m")
+    return (
+        nbrs.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Direct edges high->low; for each u: m = min(smaller-nbrs ∪ {u});
+    emit (v, m) for those neighbors plus (u, m)."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        directed.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """edges(url_l, url_r) -> labels(url, cluster_id) for every node that
+    appears in an edge.  cluster_id = min(url) of the component."""
+    e = (
+        edges.select(F.col("url_l").alias("u"), F.col("url_r").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _large_star(e).localCheckpoint()
+        e = _small_star(e).localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint: every edge is (node, root). nodes that ARE roots label themselves
+    labels = e.select(F.col("u").alias("url"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("url")).distinct().withColumn(
+        "cluster_id", F.col("url")
+    )
+    return labels.unionByName(roots).groupBy("url").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
+def attach_labels(docs: DataFrame, labels: DataFrame, url_col: str = "url") -> DataFrame:
+    """clusters(url, cluster_id) over ALL docs: unlabeled nodes are singleton
+    clusters labeled by their own url."""
+    return docs.join(labels, docs[url_col] == labels["url"], "left").select(
+        docs["*"],
+        F.coalesce(labels["cluster_id"], docs[url_col]).alias("cluster_id"),
+    )

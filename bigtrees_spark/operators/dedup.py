@@ -1,0 +1,73 @@
+"""Exact deduplication: the Spark restatement of `bigtrees dupes`.
+
+Reference lifecycle (/root/reference/lib/System/Directory/BigTrees/DupeMap.hs):
+  pathsByHash   (DupeMap.hs:72-114)  insert every node keyed by hash, merging
+                                     (count-sum, path-set-union)
+  dupesByNNodes (DupeMap.hs:119-126) drop singletons, score, sort desc
+  scoreSets     (DupeMap.hs:133-139) score = n-1 for files (bytes weighting ours)
+  simplifyDupes (DupeMap.hs:147-154) containment pruning of redundant groups
+
+Spark-first: ONE hash aggregation (partial + final, map-side combine is
+automatic) — the cuckoo-hashtable merge becomes HashAggregateExec.  The sort
+is a TakeOrderedAndProject when a report limit is given, i.e. no global sort
+materialization at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_dupe_groups(docs_fp: DataFrame, key: str = "sha256") -> DataFrame:
+    """groupBy(content digest) -> duplicate groups with savings score.
+
+    Columns: sha256, n_members, n_bytes (per copy), savings (bytes reclaimed by
+    keeping one copy = (n-1) * nbytes), members (sorted urls, reference sorts
+    group members lexicographically, DupeMap.hs:126).
+    Singletons dropped per scoreSets (DupeMap.hs:133-135).
+    """
+    return (
+        docs_fp.groupBy(key)
+        .agg(
+            F.count("*").alias("n_members"),
+            F.first("nbytes").alias("n_bytes"),
+            F.sort_array(F.collect_list("url")).alias("members"),
+        )
+        .where(F.col("n_members") > 1)
+        .withColumn("savings", (F.col("n_members") - F.lit(1)) * F.col("n_bytes"))
+    )
+
+
+def dupes_report(docs_fp: DataFrame, limit: int | None = None) -> DataFrame:
+    """Ordered dupes report (dupesByNNodes semantics: desc by savings, ties
+    broken by digest for determinism).  With a limit, Spark plans
+    TakeOrderedAndProject — no full sort at scale."""
+    rep = exact_dupe_groups(docs_fp).orderBy(F.desc("savings"), F.asc("sha256"))
+    return rep.limit(limit) if limit else rep
+
+
+def canonical_docs(docs_fp: DataFrame, key: str = "sha256") -> DataFrame:
+    """One representative per exact-dup group: earliest (warc_ts, url).
+
+    This is the reference's 'keep one copy' decision generalized, and the
+    input reduction for the near-dup stage (SURVEY.md §7: dedup exact-equal
+    docs BEFORE pairing so boilerplate-heavy exact groups never explode the
+    LSH pair join).  Window + row_number — one shuffle on the digest.
+    """
+    order = [c for c in ("warc_ts", "url") if c in docs_fp.columns]
+    w = Window.partitionBy(key).orderBy(*[F.asc(c) for c in order])
+    return (
+        docs_fp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_cluster_assignments(docs_fp: DataFrame, key: str = "sha256") -> DataFrame:
+    """clusters(url, cluster_id) for exact duplicates only: cluster_id =
+    min(url) within the digest group (deterministic canonical label);
+    singletons are their own cluster."""
+    w = Window.partitionBy(key)
+    return docs_fp.select(
+        "url", F.min("url").over(w).alias("cluster_id")
+    )

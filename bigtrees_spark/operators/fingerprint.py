@@ -1,0 +1,59 @@
+"""Fingerprint stage: web_pages -> docs_fp.
+
+This is the Spark restatement of `bigtrees hash` (scan -> per-node digest table,
+/root/reference/app/Cmd/Hash.hs + HashTree/Build.hs:93-289): one narrow
+projection + one Arrow-batched UDF, NO shuffle — the whole stage is
+scan -> ArrowEvalPython -> project, so it scales linearly with input splits.
+
+docs_fp schema:
+    url string, warc_ts timestamp, lang string, nbytes long, n_tokens int,
+    sha256 string, minhash array<long>, simhash long, bands array<long>
+
+sha256 is computed JVM-side (F.sha2 inside whole-stage codegen); only the
+MinHash/SimHash/band work crosses into Python, in one vectorized pass.
+Errors never kill the job: null/invalid text fingerprints deterministically
+(empty-token sentinel), matching the reference's Err-node-as-row design
+(HashTree/Build.hs:109-118).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
+from bigtrees_spark.functions.spark_udfs import make_fingerprint_udf
+from bigtrees_spark.sources.extraction import extract_text_udf
+
+
+def fingerprint_docs(
+    pages: DataFrame,
+    cfg: FingerprintConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    extract_from_html: bool = False,
+) -> DataFrame:
+    """web_pages -> docs_fp.  If extract_from_html, re-derive text from the raw
+    html bytes with the pinned extractor (byte-identity tested vs oracle)."""
+    df = pages
+    if extract_from_html:
+        df = df.withColumn(text_col, extract_text_udf(F.col("html")))
+    fp = make_fingerprint_udf(cfg)
+    cols = [c for c in ("url", "warc_ts", "lang") if c in df.columns]
+    return (
+        df.select(
+            *cols,
+            F.col(text_col),
+            F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("nbytes"),
+            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("sha256"),
+            fp(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
+        )
+        .select(
+            *cols,
+            text_col,
+            "nbytes",
+            "sha256",
+            F.col("_fp.minhash").alias("minhash"),
+            F.col("_fp.simhash").alias("simhash"),
+            F.col("_fp.bands").alias("bands"),
+            F.col("_fp.n_tokens").alias("n_tokens"),
+        )
+    )

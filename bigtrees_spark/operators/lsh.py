@@ -1,0 +1,161 @@
+"""MinHash-LSH banding, skew-aware candidate-pair generation, and exact
+verification — the generalization of the reference's `groupBy(hash)` dupe
+grouping (/root/reference/lib/System/Directory/BigTrees/DupeMap.hs:72-114) to
+near-duplicates (SURVEY.md G1/G2).
+
+Scale design (north_rule: "partitioning / shuffle / skew handled explicitly"):
+  * the band table is SKINNY — (url, band_idx, band_hash) only; signatures and
+    texts are joined back AFTER candidate dedup, so the explode x42 never
+    multiplies wide payloads through a shuffle;
+  * hot buckets (boilerplate-heavy web text is Zipfian) are bounded: buckets
+    above cfg.max_bucket_size switch from all-pairs to windowed neighbor
+    pairing (rank-adjacent within the bucket), which preserves bucket
+    connectivity for the CC stage while capping the pair join at O(m*K)
+    instead of O(m^2);  exact-dup collapse BEFORE banding (dedup.canonical_docs)
+    already removes the worst offenders;
+  * AQE skew-join splitting stays on for the residual skew (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
+from bigtrees_spark.functions.spark_udfs import make_exact_jaccard_udf, make_sig_jaccard_udf
+
+NEIGHBOR_K = 3  # windowed pairing width inside over-cap buckets
+
+
+def band_table(docs_fp: DataFrame) -> DataFrame:
+    """Explode signatures into skinny (url, band_idx, band_hash) rows."""
+    return docs_fp.select(
+        "url", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+
+
+def candidate_pairs(
+    docs_fp: DataFrame, cfg: FingerprintConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Distinct (url_l, url_r) candidate pairs (url_l < url_r) from LSH buckets.
+
+    Buckets <= max_bucket_size: all within-bucket pairs (exact LSH semantics).
+    Buckets  > max_bucket_size: rank-adjacent pairs (|rank diff| <= NEIGHBOR_K)
+    — documented recall trade-off for pathological buckets, kept connected for
+    the downstream connected-components stage.
+    """
+    bands = band_table(docs_fp)
+    w = Window.partitionBy("band_idx", "band_hash")
+    sized = bands.withColumn("bsz", F.count("*").over(w)).withColumn(
+        "rnk", F.row_number().over(w.orderBy("url"))
+    )
+
+    small = sized.where(F.col("bsz") <= cfg.max_bucket_size).drop("bsz")
+    sp = (
+        small.alias("l")
+        .join(small.alias("r"), ["band_idx", "band_hash"])
+        .where(F.col("l.url") < F.col("r.url"))
+        .select(F.col("l.url").alias("url_l"), F.col("r.url").alias("url_r"))
+    )
+
+    big = sized.where(F.col("bsz") > cfg.max_bucket_size).drop("bsz")
+    bp = (
+        big.alias("l")
+        .join(big.alias("r"), ["band_idx", "band_hash"])
+        .where(
+            (F.col("r.rnk") > F.col("l.rnk"))
+            & (F.col("r.rnk") - F.col("l.rnk") <= NEIGHBOR_K)
+        )
+        .select(F.col("l.url").alias("url_l"), F.col("r.url").alias("url_r"))
+    )
+
+    return sp.unionByName(bp).distinct()
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    docs_fp: DataFrame,
+    cfg: FingerprintConfig = DEFAULT_CONFIG,
+    sig_prefilter_margin: float = 0.15,
+) -> DataFrame:
+    """Candidate pairs -> verified near-dup edges with EXACT shingle Jaccard.
+
+    Two-stage: (1) cheap signature-estimate prefilter (join skinny sigs, drop
+    pairs whose estimated Jaccard is hopeless), (2) exact shingle-set Jaccard
+    on the surviving pairs' texts (Arrow-batched).  Final predicate == the
+    oracle's definition, so pipeline precision is 1.0 and recall is the LSH
+    candidate recall (config.py S-curve: >=0.996 at threshold).
+
+    Returns edges: url_l, url_r, jaccard (>= cfg.jaccard_threshold).
+    """
+    sigs = docs_fp.select("url", "minhash")
+    est = make_sig_jaccard_udf()
+    pre = (
+        pairs.join(sigs.withColumnsRenamed({"url": "url_l", "minhash": "sig_l"}), "url_l")
+        .join(sigs.withColumnsRenamed({"url": "url_r", "minhash": "sig_r"}), "url_r")
+        .withColumn("est_j", est("sig_l", "sig_r"))
+        .where(F.col("est_j") >= F.lit(max(0.0, cfg.jaccard_threshold - sig_prefilter_margin)))
+        .select("url_l", "url_r")
+    )
+
+    texts = docs_fp.select("url", "text")
+    exact = make_exact_jaccard_udf(cfg)
+    return (
+        pre.join(texts.withColumnsRenamed({"url": "url_l", "text": "text_l"}), "url_l")
+        .join(texts.withColumnsRenamed({"url": "url_r", "text": "text_r"}), "url_r")
+        .withColumn("jaccard", exact("text_l", "text_r"))
+        .where(F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+        .select("url_l", "url_r", "jaccard")
+    )
+
+
+def simhash_edges(
+    docs_fp: DataFrame, cfg: FingerprintConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Second edge source: SimHash pairs within Hamming radius.
+
+    Block on 4 x 16-bit chunks of the 64-bit fingerprint (pigeonhole: any pair
+    with Hamming distance <= 3 agrees exactly on at least one chunk), groupBy
+    chunk value, pair within buckets, verify Hamming via vectorized popcount.
+    """
+    from bigtrees_spark.functions.spark_udfs import make_hamming_udf
+
+    chunks = docs_fp.select(
+        "url",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("url", "simhash", "c.chunk_idx", "c.chunk_val")
+
+    w = Window.partitionBy("chunk_idx", "chunk_val")
+    sized = chunks.withColumn("bsz", F.count("*").over(w)).where(
+        F.col("bsz") <= 10_000  # drop degenerate chunks (e.g. all-zero simhash)
+    )
+    pairs = (
+        sized.alias("l")
+        .join(sized.alias("r"), ["chunk_idx", "chunk_val"])
+        .where(F.col("l.url") < F.col("r.url"))
+        .select(
+            F.col("l.url").alias("url_l"),
+            F.col("r.url").alias("url_r"),
+            F.col("l.simhash").alias("sh_l"),
+            F.col("r.simhash").alias("sh_r"),
+        )
+        .distinct()
+    )
+    hamming = make_hamming_udf()
+    return (
+        pairs.withColumn("hamming", hamming("sh_l", "sh_r"))
+        .where(F.col("hamming") <= F.lit(cfg.simhash_hamming_max))
+        .select("url_l", "url_r", "hamming")
+    )

@@ -1,0 +1,109 @@
+"""End-to-end near-duplicate detection + clustering plan.
+
+The Spark restatement of `bigtrees hash` + `bigtrees dupes` (SURVEY.md §3,
+entry points 1-2), generalized to near-dups:
+
+    web_pages
+      -> fingerprint_docs        (scan -> ArrowEvalPython -> project; no shuffle)
+      -> canonical_docs          (collapse exact dups; 1 shuffle on sha256)
+      -> candidate_pairs         (skinny band explode; skew-capped bucket join)
+      -> verify_pairs            (sig prefilter -> exact Jaccard, Arrow-batched)
+      [-> simhash_edges]         (optional second edge source)
+      [-> substring edges]       (winnowing pass, operators/substring.py)
+      -> connected_components    (large-star/small-star, checkpointed)
+      -> expand to all members   (join back through sha256)
+      -> clusters(url, cluster_id), near_dupes_report
+
+Exact-dup collapse BEFORE pairing mirrors simplifyDupes' redundancy
+elimination at a different level (/root/reference/lib/.../DupeMap.hs:147-154
+— SURVEY.md §7) and is the main defense against boilerplate pair blowup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
+from bigtrees_spark.operators import cc, dedup, lsh
+from bigtrees_spark.operators.fingerprint import fingerprint_docs
+
+
+@dataclass
+class DedupResult:
+    docs_fp: DataFrame      # per-doc fingerprints
+    edges: DataFrame        # verified near-dup edges between representatives
+    clusters: DataFrame     # url, cluster_id (every input url)
+    report: DataFrame       # cluster_id, n_members, savings, members
+
+
+def near_dedup_pipeline(
+    pages: DataFrame,
+    cfg: FingerprintConfig = DEFAULT_CONFIG,
+    extract_from_html: bool = False,
+    use_simhash_edges: bool = False,
+    extra_edges: DataFrame | None = None,
+    persist: bool = True,
+) -> DedupResult:
+    docs_fp = fingerprint_docs(pages, cfg, extract_from_html=extract_from_html)
+    if persist:
+        docs_fp = docs_fp.persist()
+
+    reps = dedup.canonical_docs(docs_fp)
+    if persist:
+        reps = reps.persist()
+
+    pairs = lsh.candidate_pairs(reps, cfg)
+    edges = lsh.verify_pairs(pairs, reps, cfg)
+    if use_simhash_edges:
+        edges = edges.select("url_l", "url_r").unionByName(
+            lsh.simhash_edges(reps, cfg).select("url_l", "url_r")
+        )
+    if extra_edges is not None:
+        edges = edges.select("url_l", "url_r").unionByName(
+            extra_edges.select("url_l", "url_r")
+        )
+
+    labels = cc.connected_components(edges.select("url_l", "url_r"))
+
+    # expand rep labels to every member of the rep's exact-dup group, then
+    # relabel cluster_id = min(url) over the FULL membership for determinism
+    rep_labels = reps.select("url", "sha256").join(labels, "url", "left").select(
+        F.col("sha256"), F.coalesce(F.col("cluster_id"), F.col("url")).alias("rep_cluster")
+    )
+    member_labels = docs_fp.select("url", "sha256").join(rep_labels, "sha256").select(
+        "url", "rep_cluster"
+    )
+    w = Window.partitionBy("rep_cluster")
+    clusters = member_labels.select(
+        "url", F.min("url").over(w).alias("cluster_id")
+    )
+
+    report = (
+        clusters.join(docs_fp.select("url", "nbytes"), "url")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("nbytes").alias("n_bytes_total"),
+            F.max("nbytes").alias("n_bytes_kept"),
+            F.sort_array(F.collect_list("url")).alias("members"),
+        )
+        .where(F.col("n_members") > 1)
+        .withColumn("savings", F.col("n_bytes_total") - F.col("n_bytes_kept"))
+        .orderBy(F.desc("savings"), F.asc("cluster_id"))
+    )
+
+    return DedupResult(docs_fp=docs_fp, edges=edges, clusters=clusters, report=report)
+
+
+def cluster_implied_pairs(clusters: DataFrame) -> DataFrame:
+    """All unordered url pairs sharing a cluster — the pair set the recall
+    gate scores (a dedup system 'finds' a pair iff it co-clusters it)."""
+    c = clusters
+    return (
+        c.alias("l")
+        .join(c.alias("r"), "cluster_id")
+        .where(F.col("l.url") < F.col("r.url"))
+        .select(F.col("l.url").alias("url_l"), F.col("r.url").alias("url_r"))
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the dedup pipeline.
+
+Design notes for 100 TB / 1000-executor scale (tested on local[N]):
+  * AQE on: runtime coalescing of the many small post-shuffle partitions the
+    LSH band groupBy produces at small SF, and skew-join splitting for the
+    Zipfian band-key distribution of boilerplate-heavy web text.
+  * Arrow on, bounded batch size: every Python stage is a vectorized
+    pandas/Arrow UDF (input_hint: "no per-row Python"); maxRecordsPerBatch
+    bounds executor-python memory for wide html/binary columns.
+  * shuffle.partitions default sized for local mode; at cluster scale this is
+    overridden by --conf (or left to AQE's coalescing with a high initial
+    partition number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bigtrees_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 32)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
