@@ -1,38 +1,648 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the engine's operator surface (SURVEY.md §2) over the
+driver-generated tables at sf_dir; `oracle_sql()` gives the DuckDB-equivalent
+for every SQL-expressible query.  Where the driver tables carry no duplicate
+structure, queries derive it deterministically in-query (e.g. union with a
+truncated copy) — the SAME derivation on both sides, so the comparison stays
+meaningful.
+
+Non-SQL-expressible ops (MinHash/LSH clustering, SimHash, winnowing) have
+queries() entries only -> driver records the weaker rows-only check; their
+real correctness gates are tests/ (recall vs brute-force oracle).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _url(col="doc_id"):
+    return F.format_string("d%08d", F.col(col))
+
+
+def _corpus_with_exact_dups(spark, sf_dir) -> DataFrame:
+    """documents ∪ copy of every 10th doc (same text, shifted id) — derives
+    exact-dup groups deterministically (the driver tables plant none)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-dedup pipeline (fingerprint -> LSH -> CC ->
+    clusters) over a corpus derived from sf0.001 documents with planted
+    near-dup structure (each doc unioned with a 3-token-truncated twin)."""
+    from bigtrees_spark.plans.pipeline import near_dedup_pipeline
+
+    d = _docs(spark, SF_DEFAULT)
+    base = d.select(_url().alias("url"), "text")
+    twin = d.select(
+        F.format_string("t%08d", F.col("doc_id")).alias("url"),
+        F.regexp_replace("text", r"(\s+\S+){3}$", "").alias("text"),
+    )
+    corpus = base.unionByName(twin)
+    res = near_dedup_pipeline(corpus, persist=False)
+    return res.clusters
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def q_exact_dupes(spark, sf_dir):
+    from bigtrees_spark.operators.dedup import exact_dupe_groups
+
+    c = _corpus_with_exact_dups(spark, sf_dir).select(
+        _url().alias("url"),
+        F.length("text").alias("nbytes"),
+        F.sha2("text", 256).alias("sha256"),
+    )
+    return exact_dupe_groups(c).select("sha256", "n_members", "n_bytes", "savings")
+
+
+def q_dupes_report(spark, sf_dir):
+    """Savings-ordered dupes report with canonical member (min url)."""
+    from bigtrees_spark.operators.dedup import exact_dupe_groups
+
+    c = _corpus_with_exact_dups(spark, sf_dir).select(
+        _url().alias("url"),
+        F.length("text").alias("nbytes"),
+        F.sha2("text", 256).alias("sha256"),
+    )
+    g = exact_dupe_groups(c)
+    return g.select(
+        "sha256",
+        "n_members",
+        "savings",
+        F.element_at("members", 1).alias("canonical"),
+    )
+
+
+def q_find_filter(spark, sf_dir):
+    from bigtrees_spark.operators.find import SearchConfig, find
+
+    d = _docs(spark, sf_dir).select(
+        F.col("source").alias("url"),  # label regexes target `source`
+        F.col("doc_id"),
+        F.col("lang"),
+        F.col("n_chars").alias("nbytes"),
+        F.sha2("text", 256).alias("sha256"),
+    )
+    cfg = SearchConfig(
+        min_bytes=100,
+        max_bytes=400,
+        langs=["en", "de"],
+        labeled_searches=[("teen", [r"^src1[0-9]$"]), ("low", [r"^src[0-3]$"])],
+        out_cols=["doc_id", "lang", "nbytes", "label"],
+    )
+    return find(d, cfg)
+
+
+def q_find_exclude(spark, sf_dir):
+    from bigtrees_spark.operators.sets import exclude, hash_set_from_docs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("nbytes"),
+        F.sha2("text", 256).alias("sha256"),
+    )
+    excl = hash_set_from_docs(d.where(F.col("doc_id") % 20 == 0), note="x")
+    return exclude(d, excl).select("doc_id")
+
+
+def q_set_add(spark, sf_dir):
+    from bigtrees_spark.operators.sets import hash_set_from_docs, set_add
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("nbytes"), F.sha2("text", 256).alias("sha256")
+    )
+    a = hash_set_from_docs(d.where(F.col("doc_id") % 7 == 0), note="a")
+    b = hash_set_from_docs(d.where(F.col("doc_id") % 5 == 0), note="b")
+    return set_add(a, [b])
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Add/Rm/Edit between two derived snapshots (no moves here; see
+    q_move_detect)."""
+    from bigtrees_spark.operators.diff import snapshot_diff
+
+    d = _docs(spark, sf_dir)
+    old = d.where(F.col("doc_id") % 50 != 0).select(
+        _url().alias("url"), F.sha2("text", 256).alias("sha256")
+    )
+    new = d.where(F.col("doc_id") % 40 != 0).select(
+        _url().alias("url"),
+        F.sha2(
+            F.when(F.col("doc_id") % 30 == 0, F.concat(F.col("text"), F.lit(" edited")))
+            .otherwise(F.col("text")),
+            256,
+        ).alias("sha256"),
+    )
+    return snapshot_diff(old, new).select("kind", "url", "url_new")
+
+
+def q_move_detect(spark, sf_dir):
+    """Mv pairs: every 25th doc gets a new url in the second snapshot, same
+    content (Delta.hs:85-101 digest-equijoin semantics)."""
+    from bigtrees_spark.operators.diff import snapshot_diff
+
+    d = _docs(spark, sf_dir)
+    old = d.select(_url().alias("url"), F.sha2("text", 256).alias("sha256"))
+    new = d.select(
+        F.when(
+            F.col("doc_id") % 25 == 0, F.format_string("m%08d", F.col("doc_id"))
+        )
+        .otherwise(_url())
+        .alias("url"),
+        F.sha2("text", 256).alias("sha256"),
+    )
+    return snapshot_diff(old, new).select("kind", "url", "url_new")
+
+
+def q_digest_tree(spark, sf_dir):
+    from bigtrees_spark.operators.digest import partition_digests
+
+    d = _docs(spark, sf_dir).select(
+        _url().alias("url"),
+        (F.col("doc_id") % 16).cast("int").alias("bucket"),
+        F.length("text").alias("nbytes"),
+        F.sha2("text", 256).alias("sha256"),
+    )
+    return partition_digests(d, bucket_col="bucket").select(
+        "bucket", "digest", "n_docs", "n_bytes"
+    )
+
+
+def q_root_info(spark, sf_dir):
+    from bigtrees_spark.operators.digest import partition_digests, rollup_digest_tree, root_info
+
+    d = _docs(spark, sf_dir).select(
+        _url().alias("url"),
+        (F.col("doc_id") % 16).cast("int").alias("bucket"),
+        F.length("text").alias("nbytes"),
+        F.sha2("text", 256).alias("sha256"),
+    )
+    tree = rollup_digest_tree(partition_digests(d, bucket_col="bucket"), fanout=16)
+    return root_info(tree).select("root_digest", "total_docs", "total_bytes")
+
+
+def q_token_count(spark, sf_dir):
+    from bigtrees_spark.operators.textstats import with_token_counts
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return with_token_counts(d).select("doc_id", "n_words", "n_tokens_bpe")
+
+
+def q_quality(spark, sf_dir):
+    from bigtrees_spark.operators.textstats import with_quality
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    q = with_quality(d)
+    return q.select(
+        "doc_id",
+        "n_chars",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        "stopword_hits",
+        F.col("quality_ok").cast("int").alias("quality_ok"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from bigtrees_spark.operators.textstats import with_lang_id
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return with_lang_id(d).select("doc_id", "lang_guess")
+
+
+def q_ann_topk(spark, sf_dir):
+    from bigtrees_spark.operators.similarity import brute_force_topk
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = brute_force_topk(e.where(F.col("vec_id") < 10), e, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"), "rank"
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Brute-force embedding-cosine near-dup pairs above a threshold (the
+    exactness baseline for the LSH path)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).where(F.col("vec_id") < 300)
+    from bigtrees_spark.operators.similarity import _cosine
+
+    pairs = (
+        e.alias("l")
+        .join(e.alias("r"), F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("id_l"),
+            F.col("r.vec_id").alias("id_r"),
+            _cosine(F.col("l.v"), F.col("r.v")).alias("c"),
+        )
+        .where(F.col("c") >= 0.25)
+    )
+    return pairs.select("id_l", "id_r", F.round("c", 5).alias("cosine"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact token-5-gram Jaccard near-dup pairs over documents ∪ truncated
+    twins — the n-gram-Jaccard dedup op with a fully SQL-expressible oracle."""
+    d = _docs(spark, sf_dir)
+    base = d.select(_url().alias("url"), F.lower("text").alias("text"))
+    twin = d.select(
+        F.format_string("t%08d", F.col("doc_id")).alias("url"),
+        F.lower(F.regexp_replace("text", r"(\s+\S+){3}$", "")).alias("text"),
+    )
+    c = base.unionByName(twin)
+    toks = c.select("url", F.split(F.trim("text"), r"[^a-z0-9]+").alias("t"))
+    sh = (
+        toks.select(
+            "url",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("t") - 5, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, 5)),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("url").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .where(F.col("a.url") < F.col("b.url"))
+        .groupBy(F.col("a.url").alias("url_l"), F.col("b.url").alias("url_r"))
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"url": "url_l", "n": "n_l"}), "url_l")
+        .join(sizes.withColumnsRenamed({"url": "url_r", "n": "n_r"}), "url_r")
+        .withColumn("jaccard", F.round(F.col("i") / (F.col("n_l") + F.col("n_r") - F.col("i")), 6))
+        .where(F.col("jaccard") >= 0.5)
+        .select("url_l", "url_r", "jaccard")
+    )
+
+
+def q_substring_dups(spark, sf_dir):
+    """Winnowing substring pass over chained docs (d_i = text_i + ' ' +
+    text_{i+1}): the verified common substring between d_i and d_{i+1} is
+    exactly text_{i+1}, so the oracle is closed-form."""
+    from bigtrees_spark.operators.substring import substring_edges
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    chained = d.withColumn("next_text", F.lead("text").over(w)).where(
+        F.col("next_text").isNotNull()
+    )
+    corpus = chained.select(
+        _url().alias("url"), F.concat("text", F.lit(" "), "next_text").alias("text")
+    )
+    # restrict to adjacent pairs: the driver's documents table plants genuine
+    # near-dups, so NON-adjacent chained docs can legitimately share >=256-byte
+    # runs — real detections, but with no closed-form SQL oracle.  The
+    # unrestricted pass is gated in tests/test_pipeline.py against the planted
+    # fixture; here we verify exact recall + match_len on the derivable subset.
+    edges = substring_edges(corpus)
+    adjacent = F.expr(
+        "cast(substring(url_r, 2) as long) = cast(substring(url_l, 2) as long) + 1"
+    )
+    return edges.where(adjacent).select("url_l", "url_r", "match_len")
+
+
+def q_minhash_lsh_clusters(spark, sf_dir):
+    """Full MinHash/LSH/CC pipeline (rows-only driver check; recall gate lives
+    in tests/ vs the brute-force oracle)."""
+    from bigtrees_spark.plans.pipeline import near_dedup_pipeline
+
+    d = _docs(spark, sf_dir)
+    base = d.select(_url().alias("url"), "text")
+    twin = d.select(
+        F.format_string("t%08d", F.col("doc_id")).alias("url"),
+        F.regexp_replace("text", r"(\s+\S+){3}$", "").alias("text"),
+    )
+    res = near_dedup_pipeline(base.unionByName(twin), persist=False)
+    return res.clusters
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    from bigtrees_spark.operators.fingerprint import fingerprint_docs
+
+    d = _docs(spark, sf_dir).select(_url().alias("url"), "text")
+    return fingerprint_docs(d).select("url", "simhash", "n_tokens")
+
+
+def q_winnow_counts(spark, sf_dir):
+    from bigtrees_spark.operators.substring import winnow_table
+
+    d = _docs(spark, sf_dir).select(_url().alias("url"), "text")
+    return winnow_table(d).groupBy("url").agg(F.count("*").alias("n_fps"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing over documents' text bytes as a stand-in binary
+    payload (deterministic fake decoder; rows-only check)."""
+    from bigtrees_spark.operators.multimodal import extract_media_features
+
+    d = _docs(spark, sf_dir).select(
+        _url().alias("url"), F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_media_features(d).select("url", "n_bytes", "content_sha256", "width", "height")
+
+
+def q_lsh_ann_pairs(spark, sf_dir):
+    """Hyperplane-LSH embedding near-dup path (rows-only; exactness baseline
+    is q_embedding_neardup)."""
+    from bigtrees_spark.operators.similarity import lsh_neardup_pairs
+
+    e = _emb(spark, sf_dir)
+    return lsh_neardup_pairs(e, cosine_threshold=0.3, dim=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dupes": q_exact_dupes,
+        "dupes_report": q_dupes_report,
+        "find_filter": q_find_filter,
+        "find_exclude": q_find_exclude,
+        "set_add": q_set_add,
+        "snapshot_diff": q_snapshot_diff,
+        "move_detect": q_move_detect,
+        "digest_tree": q_digest_tree,
+        "root_info": q_root_info,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "substring_dups": q_substring_dups,
+        "minhash_lsh_clusters": q_minhash_lsh_clusters,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "winnow_counts": q_winnow_counts,
+        "media_features": q_media_features,
+        "lsh_ann_pairs": q_lsh_ann_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_CORPUS_DUPS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dupes": f"""
+WITH {_CORPUS_DUPS}
+SELECT sha256(text) AS sha256,
+       count(*) AS n_members,
+       min(length(text)) AS n_bytes,
+       (count(*) - 1) * min(length(text)) AS savings
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+""",
+        "dupes_report": f"""
+WITH {_CORPUS_DUPS}
+SELECT sha256(text) AS sha256,
+       count(*) AS n_members,
+       (count(*) - 1) * min(length(text)) AS savings,
+       min(printf('d%08d', doc_id)) AS canonical
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+""",
+        "find_filter": """
+SELECT doc_id, lang, n_chars AS nbytes,
+       CASE WHEN regexp_matches(source, '(?i)(?:^src1[0-9]$)') THEN 'teen'
+            WHEN regexp_matches(source, '(?i)(?:^src[0-3]$)') THEN 'low'
+            ELSE NULL END AS label
+FROM documents
+WHERE n_chars BETWEEN 100 AND 400 AND lang IN ('en','de')
+  AND label IS NOT NULL
+""",
+        "find_exclude": """
+SELECT doc_id FROM documents
+WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents WHERE doc_id % 20 = 0)
+""",
+        "set_add": """
+WITH a AS (
+  SELECT sha256(text) AS sha256, count(*) AS n_docs, sum(length(text)) AS n_bytes,
+         'a' AS note, 0 AS _ord
+  FROM documents WHERE doc_id % 7 = 0 GROUP BY 1
+), b AS (
+  SELECT sha256(text) AS sha256, count(*) AS n_docs, sum(length(text)) AS n_bytes,
+         'b' AS note, 1 AS _ord
+  FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
+), u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT sha256, max(n_docs) AS n_docs, max(n_bytes) AS n_bytes,
+       arg_max(note, _ord) AS note
+FROM u GROUP BY 1
+""",
+        "snapshot_diff": """
+WITH old AS (
+  SELECT printf('d%08d', doc_id) AS url, sha256(text) AS sha256
+  FROM documents WHERE doc_id % 50 <> 0
+), new AS (
+  SELECT printf('d%08d', doc_id) AS url,
+         sha256(CASE WHEN doc_id % 30 = 0 THEN text || ' edited' ELSE text END) AS sha256
+  FROM documents WHERE doc_id % 40 <> 0
+), j AS (
+  SELECT coalesce(old.url, new.url) AS url, old.sha256 AS os, new.sha256 AS ns
+  FROM old FULL OUTER JOIN new ON old.url = new.url
+)
+SELECT CASE WHEN os IS NULL THEN 'Add' WHEN ns IS NULL THEN 'Rm' ELSE 'Edit' END AS kind,
+       url, NULL::VARCHAR AS url_new
+FROM j WHERE os IS NULL OR ns IS NULL OR os <> ns
+""",
+        "move_detect": """
+WITH old AS (
+  SELECT printf('d%08d', doc_id) AS url, sha256(text) AS sha256 FROM documents
+), new AS (
+  SELECT CASE WHEN doc_id % 25 = 0 THEN printf('m%08d', doc_id)
+              ELSE printf('d%08d', doc_id) END AS url,
+         sha256(text) AS sha256
+  FROM documents
+), j AS (
+  SELECT coalesce(old.url, new.url) AS url, old.sha256 AS os, new.sha256 AS ns
+  FROM old FULL OUTER JOIN new ON old.url = new.url
+), rm AS (
+  SELECT url, os AS sha256, row_number() OVER (PARTITION BY os ORDER BY url) AS rnk
+  FROM j WHERE ns IS NULL
+), ad AS (
+  SELECT url, ns AS sha256, row_number() OVER (PARTITION BY ns ORDER BY url) AS rnk
+  FROM j WHERE os IS NULL
+), mv AS (
+  SELECT rm.url AS url, ad.url AS url_new
+  FROM rm JOIN ad ON rm.sha256 = ad.sha256 AND rm.rnk = ad.rnk
+)
+SELECT 'Mv' AS kind, url, url_new FROM mv
+UNION ALL
+SELECT 'Rm', url, NULL FROM rm WHERE url NOT IN (SELECT url FROM mv)
+UNION ALL
+SELECT 'Add', url, NULL FROM ad WHERE url NOT IN (SELECT url_new FROM mv)
+UNION ALL
+SELECT 'Edit', url, NULL FROM j
+WHERE os IS NOT NULL AND ns IS NOT NULL AND os <> ns
+""",
+        "digest_tree": """
+SELECT (doc_id % 16)::INT AS bucket,
+       sha256(string_agg(sha256(text), chr(10) ORDER BY sha256(text))) AS digest,
+       count(*) AS n_docs,
+       sum(length(text)) AS n_bytes
+FROM documents GROUP BY 1
+""",
+        "root_info": """
+WITH l0 AS (
+  SELECT (doc_id % 16)::INT AS bucket,
+         sha256(string_agg(sha256(text), chr(10) ORDER BY sha256(text))) AS digest,
+         count(*) AS n_docs, sum(length(text)) AS n_bytes
+  FROM documents GROUP BY 1
+)
+SELECT sha256(string_agg(digest, chr(10) ORDER BY digest)) AS root_digest,
+       sum(n_docs) AS total_docs, sum(n_bytes) AS total_bytes
+FROM l0
+""",
+        "token_count": r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]')) END
+            AS n_tokens_bpe
+FROM documents
+""",
+        "quality": r"""
+WITH q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         len(regexp_extract_all(text,
+             '(?i)\b(?:the|and|of|to|in|is|that|it|was|for)\b')) AS stopword_hits
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       round(n_chars::DOUBLE / greatest(n_words, 1), 6) AS mean_word_len,
+       round(punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(digits::DOUBLE / greatest(n_chars, 1), 6) AS digit_ratio,
+       stopword_hits,
+       (n_chars >= 10
+        AND n_chars::DOUBLE / greatest(n_words, 1) >= 2.0
+        AND n_chars::DOUBLE / greatest(n_words, 1) <= 12.0
+        AND digits::DOUBLE / greatest(n_chars, 1) <= 0.3)::INT AS quality_ok
+FROM q
+""",
+        "lang_id": r"""
+WITH h AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '(?i)\b(?:the|and|of|to|in|is|that|it|was|for)\b')) AS hits_en,
+    len(regexp_extract_all(text, '(?i)\b(?:der|die|das|und|ist|nicht|ein|mit|auf|zu)\b')) AS hits_de,
+    len(regexp_extract_all(text, '(?i)\b(?:el|la|de|que|y|en|un|por|con|para)\b')) AS hits_es,
+    len(regexp_extract_all(text, '(?i)\b(?:le|la|les|de|et|un|une|est|que|pour)\b')) AS hits_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN hits_de > 0 AND hits_de > hits_en AND hits_de > hits_es AND hits_de > hits_fr THEN 'de'
+    WHEN hits_en > 0 AND hits_en >= hits_de AND hits_en > hits_es AND hits_en > hits_fr THEN 'en'
+    WHEN hits_es > 0 AND hits_es >= hits_de AND hits_es >= hits_en AND hits_es > hits_fr THEN 'es'
+    WHEN hits_fr > 0 AND hits_fr >= hits_de AND hits_fr >= hits_en AND hits_fr >= hits_es THEN 'fr'
+    ELSE 'und' END AS lang_guess
+FROM h
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+  FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cos, 5) AS cosine, rank::INT AS rank
+FROM r WHERE rank <= 3
+""",
+        "embedding_neardup": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
+SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+       round(list_cosine_similarity(l.v, r.v), 5) AS cosine
+FROM e l JOIN e r ON l.vec_id < r.vec_id
+WHERE list_cosine_similarity(l.v, r.v) >= 0.25
+""",
+        "ngram_jaccard": r"""
+WITH corpus AS (
+  SELECT printf('d%08d', doc_id) AS url, lower(text) AS text FROM documents
+  UNION ALL
+  SELECT printf('t%08d', doc_id) AS url,
+         lower(regexp_replace(text, '(\s+\S+){3}$', '')) AS text
+  FROM documents
+), toks AS (
+  SELECT url, string_split_regex(trim(text), '[^a-z0-9]+') AS t FROM corpus
+), pos AS (
+  SELECT url, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS p FROM toks
+), sh AS (
+  SELECT DISTINCT url, array_to_string(t[p:p+4], ' ') AS s FROM pos
+), sizes AS (
+  SELECT url, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.url AS url_l, b.url AS url_r, count(*) AS i
+  FROM sh a JOIN sh b USING (s)
+  WHERE a.url < b.url
+  GROUP BY 1, 2
+)
+SELECT url_l, url_r,
+       round(i::DOUBLE / (sl.n + sr.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sl ON sl.url = url_l
+JOIN sizes sr ON sr.url = url_r
+WHERE i::DOUBLE / (sl.n + sr.n - i) >= 0.5
+""",
+        "substring_dups": """
+WITH chained AS (
+  SELECT doc_id, text, lead(text) OVER (ORDER BY doc_id) AS next_text
+  FROM documents
+)
+SELECT printf('d%08d', a.doc_id) AS url_l,
+       printf('d%08d', b.doc_id) AS url_r,
+       length(a.next_text) AS match_len
+FROM chained a JOIN chained b ON b.doc_id = a.doc_id + 1
+WHERE a.next_text IS NOT NULL AND b.next_text IS NOT NULL
+  AND length(a.next_text) >= 256
+""",
+    }

@@ -1,0 +1,184 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "throughput_docs_per_sec": ..., "scaling": {...}}
+
+The headline metric is end-to-end near-dedup wall time; `scaling` (emitted
+when SPARK_GRAFT_SCALING=1) reruns the dedup pipeline at local[8] vs
+local[32] on the same input and reports throughput at both plus
+efficiency = (T_8 / T_32) / 4 — the sandbox substitute for N vs 4N executors
+(BASELINE.md).  Run `python bench.py --scaling` for the full report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _corpus(spark, sf_dir):
+    """documents ∪ 3-token-truncated twins — the standard derived dedup corpus
+    (same derivation as __spark_entry__)."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(F.format_string("d%08d", "doc_id").alias("url"), "text")
+    twin = d.select(
+        F.format_string("t%08d", "doc_id").alias("url"),
+        F.regexp_replace("text", r"(\s+\S+){3}$", "").alias("text"),
+    )
+    return base.unionByName(twin)
+
+
+def run_dedup(spark, sf_dir) -> int:
+    """Full pipeline: fingerprint -> exact collapse -> LSH -> verify -> CC ->
+    clusters.  Returns docs processed."""
+    from bigtrees_spark.plans.pipeline import near_dedup_pipeline
+
+    corpus = _corpus(spark, sf_dir)
+    res = near_dedup_pipeline(corpus, persist=True)
+    n = res.clusters.count()
+    res.docs_fp.unpersist()
+    return n
+
+
+def run_exact_dupes(spark, sf_dir) -> int:
+    from pyspark.sql import functions as F
+
+    from bigtrees_spark.operators.dedup import dupes_report
+
+    c = _corpus(spark, sf_dir).select(
+        "url", F.length("text").alias("nbytes"), F.sha2("text", 256).alias("sha256")
+    )
+    return dupes_report(c, limit=100).count()
+
+
+def run_digest_tree(spark, sf_dir) -> int:
+    from pyspark.sql import functions as F
+
+    from bigtrees_spark.operators.digest import partition_digests, rollup_digest_tree
+
+    c = _corpus(spark, sf_dir).select(
+        "url", F.length("text").alias("nbytes"), F.sha2("text", 256).alias("sha256")
+    )
+    return rollup_digest_tree(partition_digests(c, n_buckets=128)).count()
+
+
+def run_substring(spark, sf_dir) -> int:
+    from bigtrees_spark.operators.substring import substring_edges
+
+    return substring_edges(_corpus(spark, sf_dir)).count()
+
+
+def run_ann(spark, sf_dir) -> int:
+    from pyspark.sql import functions as F
+
+    from bigtrees_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return brute_force_topk(e.where(F.col("vec_id") < 100), e, k=10).count()
+
+
+def run_textstats(spark, sf_dir) -> int:
+    from bigtrees_spark.operators.textstats import doc_profile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return doc_profile(d).where("quality_ok").count()
+
+
+QUERIES = {
+    "near_dedup_e2e": run_dedup,
+    "exact_dupes_report": run_exact_dupes,
+    "digest_tree": run_digest_tree,
+    "substring_pass": run_substring,
+    "ann_topk": run_ann,
+    "textstats_profile": run_textstats,
+}
+
+
+def _bench_session(cores: int):
+    from bigtrees_spark.session import get_spark
+
+    spark = get_spark(cores=cores, app_name=f"bench_{cores}")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _time_dedup_at(cores: int, sf_dir: str) -> tuple[float, int]:
+    """Fresh session at `cores`; one warm-up pass is NOT used (cold JVM each
+    level would be unfair in opposite direction); we time the pipeline twice
+    and keep the second run to exclude first-touch parquet footer reads."""
+    spark = _bench_session(cores)
+    try:
+        run_dedup(spark, sf_dir)  # warm
+        t0 = time.time()
+        n = run_dedup(spark, sf_dir)
+        dt = time.time() - t0
+    finally:
+        spark.stop()
+    return dt, n
+
+
+def main() -> None:
+    sf_dir = _sf_dir()
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = _bench_session(cores)
+    timings: dict[str, float] = {}
+    n_docs = 0
+    try:
+        for name, fn in QUERIES.items():
+            t0 = time.time()
+            out = fn(spark, sf_dir)
+            timings[name] = round(time.time() - t0, 3)
+            if name == "near_dedup_e2e":
+                n_docs = out
+    finally:
+        spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "end-to-end dedup + query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs": n_docs,
+        "throughput_docs_per_sec": round(n_docs / timings["near_dedup_e2e"], 1)
+        if timings.get("near_dedup_e2e")
+        else None,
+        "cores": cores,
+    }
+
+    if "--scaling" in sys.argv or os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        lo_c, hi_c = 8, 32
+        t_lo, n = _time_dedup_at(lo_c, sf_dir)
+        t_hi, _ = _time_dedup_at(hi_c, sf_dir)
+        thr_lo, thr_hi = n / t_lo, n / t_hi
+        result["scaling"] = {
+            "cores_low": lo_c,
+            "cores_high": hi_c,
+            "docs": n,
+            "sec_low": round(t_lo, 3),
+            "sec_high": round(t_hi, 3),
+            "docs_per_sec_low": round(thr_lo, 1),
+            "docs_per_sec_high": round(thr_hi, 1),
+            "efficiency": round((thr_hi / thr_lo) / (hi_c / lo_c), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Snapshot diff: the Spark restatement of `bigtrees diff OLD NEW`.
+
+Reference semantics (/root/reference/lib/System/Directory/BigTrees/Delta.hs):
+  diff'    (Delta.hs:61-81)  match old/new dir contents BY NAME: only-in-new ->
+                             Add, only-in-old -> Rm, same-name-diff-hash -> Edit;
+                             equal hashes short-circuit the whole subtree
+                             (Delta.hs:74-76 — the Merkle speedup)
+  findMv   (Delta.hs:85-101) pair Rm(p1) + Add(p2) with equal hashes -> Mv
+
+Spark-first:
+  * the name-join is ONE full-outer join on url;
+  * the Merkle short-circuit becomes digest-tree pruning: compare partition
+    digests first and only row-diff partitions whose digest changed
+    (operators/digest.py + diff_with_pruning below) — at 100 TB this skips
+    the scan of every unchanged partition;
+  * move detection is a self-join of the Add/Rm rows on the content digest
+    (inner equi-join), then an anti-join removes consumed pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "url", digest: str = "sha256") -> DataFrame:
+    """deltas(kind, url, url_new): Add / Rm / Edit / Mv between two fingerprint
+    tables (any DataFrame with `key` and `digest` columns)."""
+    o = old.select(F.col(key).alias("url"), F.col(digest).alias("old_digest"))
+    n = new.select(F.col(key).alias("url"), F.col(digest).alias("new_digest"))
+    j = o.join(n, "url", "full_outer")
+
+    adds = j.where(F.col("old_digest").isNull()).select(
+        "url", F.col("new_digest").alias("digest")
+    )
+    rms = j.where(F.col("new_digest").isNull()).select(
+        "url", F.col("old_digest").alias("digest")
+    )
+    edits = j.where(
+        F.col("old_digest").isNotNull()
+        & F.col("new_digest").isNotNull()
+        & (F.col("old_digest") != F.col("new_digest"))
+    ).select(F.lit("Edit").alias("kind"), F.col("url"), F.lit(None).cast("string").alias("url_new"))
+
+    # Mv: pair each Rm with at most one Add of identical digest (rank-matched
+    # within digest so multiple moves of identical content pair 1:1 —
+    # reference consumes each Add/Rm once, Delta.hs:95-101)
+    wr = Window.partitionBy("digest").orderBy("url")
+    rms_r = rms.withColumn("rnk", F.row_number().over(wr))
+    adds_r = adds.withColumn("rnk", F.row_number().over(wr))
+    mvs = (
+        rms_r.alias("r")
+        .join(adds_r.alias("a"), ["digest", "rnk"])
+        .select(
+            F.lit("Mv").alias("kind"),
+            F.col("r.url").alias("url"),
+            F.col("a.url").alias("url_new"),
+        )
+    )
+    consumed_rm = mvs.select(F.col("url"))
+    consumed_add = mvs.select(F.col("url_new").alias("url"))
+
+    pure_adds = adds.join(consumed_add, "url", "left_anti").select(
+        F.lit("Add").alias("kind"), "url", F.lit(None).cast("string").alias("url_new")
+    )
+    pure_rms = rms.join(consumed_rm, "url", "left_anti").select(
+        F.lit("Rm").alias("kind"), "url", F.lit(None).cast("string").alias("url_new")
+    )
+
+    return pure_adds.unionByName(pure_rms).unionByName(edits).unionByName(mvs)
+
+
+def changed_partitions(old_digests: DataFrame, new_digests: DataFrame) -> DataFrame:
+    """Merkle pruning (Delta.hs:74-76 at partition granularity): buckets whose
+    digest differs or that exist on one side only.  Input: digest tables from
+    operators/digest.py (bucket, digest).  Output: bucket rows to re-diff."""
+    o = old_digests.select("bucket", F.col("digest").alias("od"))
+    n = new_digests.select("bucket", F.col("digest").alias("nd"))
+    return (
+        o.join(n, "bucket", "full_outer")
+        .where(
+            F.col("od").isNull() | F.col("nd").isNull() | (F.col("od") != F.col("nd"))
+        )
+        .select("bucket")
+    )
+
+
+def diff_with_pruning(
+    old: DataFrame,
+    new: DataFrame,
+    old_digests: DataFrame,
+    new_digests: DataFrame,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Row-level diff restricted to partitions whose Merkle digest changed —
+    the 100 TB path: unchanged buckets are never scanned (broadcast semi-join
+    on the partition key prunes them at the source)."""
+    changed = changed_partitions(old_digests, new_digests)
+    o = old.join(F.broadcast(changed), bucket_col, "left_semi")
+    n = new.join(F.broadcast(changed), bucket_col, "left_semi")
+    return snapshot_diff(o, n)

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns with
+typed metadata, processed via mapInPandas.
+
+The decode step itself is STUBBED (image/audio libraries are not in this
+container — task brief): `decode_image` raises NotImplementedError unless the
+deterministic fake decoder is selected.  Everything Spark-side — schema,
+batch iteration, partitioning, output shape — is real and tested, so swapping
+in a real decoder (PIL/ffmpeg) is a one-function change on the executors.
+
+Reference analog: the HashTree functor payload — trees optionally carry file
+CONTENTS alongside metadata and ops project them away when not needed
+(/root/reference/lib/System/Directory/BigTrees/HashTree/Base.hs:156,185-190,
+322-326).  Our binary column is that payload; `drop_payload` is dropFileData.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("media_type", StringType(), True),   # image|audio|video
+        StructField("n_bytes", IntegerType(), True),
+        StructField("content_sha256", StringType(), True),
+        StructField("width", IntegerType(), True),        # decode metadata
+        StructField("height", IntegerType(), True),
+        StructField("feature", ArrayType(FloatType()), True),  # extracted vector
+    ]
+)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decoder stub — no image libraries in this container.
+    Swap in PIL/libvips here on a real cluster."""
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "environment; use fake_decode for deterministic tests"
+    )
+
+
+def fake_decode(payload: bytes, feat_dim: int = 8) -> tuple[int, int, np.ndarray]:
+    """Deterministic fake decoder for tests: dimensions and feature vector are
+    pure functions of the payload bytes (blake2b-seeded), so results are
+    stable across executors/runs — the plumbing contract is fully exercised."""
+    d = hashlib.blake2b(payload or b"", digest_size=16).digest()
+    width = 1 + d[0] % 64
+    height = 1 + d[1] % 64
+    rng = np.random.default_rng(int.from_bytes(d[2:10], "little"))
+    feat = rng.standard_normal(feat_dim).astype(np.float32)
+    return width, height, feat
+
+
+def extract_media_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    media_type: str = "image",
+    use_fake_decoder: bool = True,
+    feat_dim: int = 8,
+) -> DataFrame:
+    """media(url, payload binary) -> MEDIA_META_SCHEMA rows via mapInPandas.
+
+    mapInPandas (not a scalar UDF) because decode is rows->rows with wide
+    binary input: each Arrow batch is processed as a unit and the binary
+    column never round-trips back to the JVM.
+    """
+    decoder = fake_decode if use_fake_decoder else decode_image
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "url": pdf["url"],
+                "media_type": media_type,
+                "n_bytes": pdf[payload_col].map(lambda b: len(b or b"")).astype("int32"),
+                "content_sha256": pdf[payload_col].map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()
+                ),
+            }
+            ws, hs, feats = [], [], []
+            for b in pdf[payload_col]:
+                w, h, f = decoder(bytes(b or b""))
+                ws.append(w)
+                hs.append(h)
+                feats.append(f.tolist())
+            out["width"] = pd.Series(ws, dtype="int32")
+            out["height"] = pd.Series(hs, dtype="int32")
+            out["feature"] = feats
+            yield pd.DataFrame(out)
+
+    cols = media.select(F.col("url"), F.col(payload_col))
+    return cols.mapInPandas(process, schema=MEDIA_META_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, payload_col: str = "payload", every_n_bytes: int = 1024
+) -> DataFrame:
+    """Video frame-sampling plumbing (rows -> MANY rows): emits one row per
+    sampled 'frame' offset with a slice digest.  The real frame decode is the
+    same stub swap; the explode/partition behavior is what's under test."""
+    n = F.octet_length(F.col(payload_col))
+    offsets = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes)
+    )
+    return (
+        media.select("url", F.col(payload_col), F.posexplode(offsets).alias("frame_idx", "offset"))
+        .withColumn(
+            "frame_sha256",
+            F.sha2(F.substring(F.col(payload_col), F.col("offset") + 1, every_n_bytes), 256),
+        )
+        .drop(payload_col)
+    )
+
+
+def drop_payload(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """dropFileData analog (HashTree/Base.hs:322-326): project away the binary
+    payload once metadata/features are extracted."""
+    return df.drop(payload_col)

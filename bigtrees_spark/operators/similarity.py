@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (array<float>).
+
+Generalizes the reference's "same fingerprint => duplicate" to continuous
+fingerprints: embedding-cosine near-dup pairs and top-k nearest neighbors.
+
+Two paths (SURVEY.md / task brief):
+  * brute-force cosine top-k — the exactness baseline. JVM-side math only:
+    F.zip_with + F.aggregate for dot products inside whole-stage codegen; the
+    top-k is a window row_number (per-query TakeOrdered under AQE).  Cost
+    O(Q x N) — correct tool when Q is small (a query batch) even at huge N.
+  * LSH-bucketed path — random-hyperplane signatures (SimHash for vectors,
+    Charikar'02): b x r sign bits per vector; bucket-join on band keys, exact
+    cosine re-rank inside buckets. Sub-linear candidate generation at
+    10^12-vector scale, same skew controls as the text LSH.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
+
+
+def _cosine(a, b):  # Column helper: cosine similarity of two float arrays
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is expected to be small -> broadcast; the cross join then streams
+    the corpus once per partition with zero shuffle of the corpus side, and
+    the per-query top-k is a window over (query_id) — with AQE this stays
+    bounded because only k rows per query survive the rank filter.
+    Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def make_hyperplane_udf(dim: int, n_bits: int = 128, seed: int = 42):
+    """pandas UDF: embedding -> array of band keys from random-hyperplane sign
+    bits (Charikar'02 random projection LSH).  Hyperplanes are regenerated
+    deterministically from the seed on every executor — nothing to broadcast."""
+    n_bands = n_bits // 16  # 16 sign bits per band key
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def hyperplane_bands(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_bits, dim)).astype(np.float32)
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float32)
+            bits = (planes @ x) > 0  # (n_bits,)
+            keys = []
+            for band in range(n_bands):
+                chunk = bits[band * 16 : (band + 1) * 16]
+                val = int(np.packbits(chunk).view(np.uint16)[0]) if len(chunk) == 16 else 0
+                keys.append((band << 32) | val)
+            out.append(keys)
+        return pd.Series(out)
+
+    return hyperplane_bands
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    cosine_threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 128,
+    seed: int = 42,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Embedding near-dup pairs: hyperplane-LSH buckets -> within-bucket pairs
+    -> exact cosine verify.  Returns (id_l, id_r, cosine >= threshold)."""
+    bands_udf = make_hyperplane_udf(dim, n_bits, seed)
+    b = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("band_key", F.explode(bands_udf(F.col("v"))))
+
+    w = Window.partitionBy("band_key")
+    sized = b.withColumn("bsz", F.count("*").over(w)).where(F.col("bsz") <= max_bucket)
+    pairs = (
+        sized.alias("l")
+        .join(sized.alias("r"), "band_key")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_l"),
+            F.col("r.id").alias("id_r"),
+            F.col("l.v").alias("v_l"),
+            F.col("r.v").alias("v_r"),
+        )
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    return (
+        pairs.withColumn("cosine", _cosine(F.col("v_l"), F.col("v_r")))
+        .where(F.col("cosine") >= cosine_threshold)
+        .select("id_l", "id_r", "cosine")
+    )

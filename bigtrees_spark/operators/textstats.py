@@ -1,0 +1,110 @@
+"""Text-analysis operators for a training-data pipeline: token counting,
+quality scoring, language-ID heuristic, document fingerprint summary.
+
+These extend the reference's per-node metadata (nbytes, nnodes — the columns
+its queries filter on, /root/reference/lib/System/Directory/BigTrees/
+HashLine.hs:120-185) with the per-document statistics a 100 TB web-text
+curation job filters on.  Everything is built-in Catalyst expressions
+(whole-stage codegen, no Python) except the BPE-ish token estimate, which is
+a regexp count — also JVM-side.
+
+Each function returns the input plus new columns, so they compose into one
+projection stage with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# language marker stopwords: tiny deterministic lists (public knowledge),
+# enough for a heuristic over the 5 langs the corpus carries
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+}
+
+
+def _word_count(col: Column) -> Column:
+    """Whitespace token count; empty/whitespace-only -> 0."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_words (whitespace) and n_tokens_bpe (BPE-ish regex token estimate:
+    word pieces of <=4 chars + digits + punctuation as separate tokens)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # BPE-ish: count [a-zA-Z]{1,4} pieces, digit runs, and non-space symbols
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0)))
+    return df.withColumn("n_words", _word_count(t)).withColumn(
+        "n_tokens_bpe", F.when(F.trim(t) == "", F.lit(0)).otherwise(bpe)
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality signals, all codegen-able:
+    n_chars, mean_word_len, punct_ratio, digit_ratio, upper_ratio,
+    stopword_hits (en), quality_ok boolean."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    n_words = _word_count(t)
+    safe_words = F.greatest(n_words, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    stop_re = r"(?i)\b(?:" + "|".join(LANG_MARKERS["en"]) + r")\b"
+    stops = F.size(F.regexp_extract_all(t, F.lit(stop_re), F.lit(0)))
+    df = (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("mean_word_len", (n_chars.cast("double") / safe_words))
+        .withColumn("punct_ratio", punct.cast("double") / safe_chars)
+        .withColumn("digit_ratio", digits.cast("double") / safe_chars)
+        .withColumn("upper_ratio", uppers.cast("double") / safe_chars)
+        .withColumn("stopword_hits", stops)
+    )
+    return df.withColumn(
+        "quality_ok",
+        (F.col("n_chars") >= 10)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+        & (F.col("digit_ratio") <= 0.3),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language heuristic: per language, count marker-word
+    hits; lang_guess = argmax (ties and zero hits -> 'und').  Pure codegen —
+    a greatest/when cascade over per-language regexp counts."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    hit_cols: dict[str, Column] = {}
+    for lang, words in LANG_MARKERS.items():
+        rex = r"(?i)\b(?:" + "|".join(words) + r")\b"
+        hit_cols[lang] = F.size(F.regexp_extract_all(t, F.lit(rex), F.lit(0)))
+    for lang, c in hit_cols.items():
+        df = df.withColumn(f"hits_{lang}", c)
+    best = None
+    for lang in LANG_MARKERS:
+        cond = F.lit(True)
+        for other in LANG_MARKERS:
+            if other != lang:
+                # strict ordering by (hits, lang) so ties resolve deterministically
+                cond = cond & (
+                    (F.col(f"hits_{lang}") > F.col(f"hits_{other}"))
+                    | (
+                        (F.col(f"hits_{lang}") == F.col(f"hits_{other}"))
+                        & (F.lit(lang) < F.lit(other))
+                    )
+                )
+        clause = F.when((F.col(f"hits_{lang}") > 0) & cond, F.lit(lang))
+        best = clause if best is None else best.when((F.col(f"hits_{lang}") > 0) & cond, F.lit(lang))
+    return df.withColumn("lang_guess", best.otherwise(F.lit("und")))
+
+
+def doc_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full text-analysis profile in one narrow stage (no shuffle)."""
+    return with_lang_id(with_quality(with_token_counts(df, text_col), text_col), text_col)

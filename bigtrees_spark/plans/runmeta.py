@@ -1,0 +1,140 @@
+"""Run metrics + per-partition checkpoint/resume.
+
+Reference analog: .bigtree files carry a JSON Header (scan provenance) and
+Footer (scanEnd) — /root/reference/lib/System/Directory/BigTrees/HeadFoot.hs:
+66-75,115-119 — and the tail probe reads them for O(1) status
+(HashTree/Read.hs:86-113).  The reference's planned "intelligent re-hashing of
+only changed files" (README.md:49, todo) is realized here at partition
+granularity:
+
+  run_metrics(run_id, bucket, stage, started, finished, n_rows, status)
+
+A stage over a bucket is 'done' only after its output parquet partition is
+fully written; resume = anti-join the bucket list against completed rows, so
+a killed job recomputes ONLY unfinished buckets (north_rule resumability).
+Combined with digest trees (operators/digest.py): a bucket whose level-0
+digest is unchanged between snapshots skips re-fingerprinting entirely.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+RUN_METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("stage", StringType(), False),
+        StructField("started", TimestampType(), True),
+        StructField("finished", TimestampType(), True),
+        StructField("n_rows", LongType(), True),
+        StructField("status", StringType(), False),
+    ]
+)
+
+
+@dataclass
+class RunContext:
+    spark: SparkSession
+    metrics_path: str
+    run_id: str
+
+    @classmethod
+    def new(cls, spark: SparkSession, metrics_path: str, run_id: str | None = None) -> "RunContext":
+        return cls(spark, metrics_path, run_id or uuid.uuid4().hex[:12])
+
+    def _read(self) -> DataFrame:
+        if os.path.exists(self.metrics_path):
+            return self.spark.read.parquet(self.metrics_path)
+        return self.spark.createDataFrame([], RUN_METRICS_SCHEMA)
+
+    def completed_buckets(self, stage: str) -> DataFrame:
+        """Buckets already finished for this stage (any run — completion is a
+        property of the output, not the run attempt)."""
+        return (
+            self._read()
+            .where((F.col("stage") == stage) & (F.col("status") == "done"))
+            .select("bucket")
+            .distinct()
+        )
+
+    def pending_buckets(self, all_buckets: DataFrame, stage: str) -> DataFrame:
+        """all_buckets(bucket) minus completed — the resume anti-join."""
+        return all_buckets.join(self.completed_buckets(stage), "bucket", "left_anti")
+
+    def mark_done(self, buckets: list[int], stage: str, n_rows: dict[int, int] | None = None) -> None:
+        """Append completion rows (atomic per parquet-append semantics)."""
+        now = time.time()
+        rows = [
+            {
+                "run_id": self.run_id,
+                "bucket": int(b),
+                "stage": stage,
+                "started": None,
+                "finished": None,
+                "n_rows": int((n_rows or {}).get(b, 0)),
+                "status": "done",
+            }
+            for b in buckets
+        ]
+        df = self.spark.createDataFrame(rows, RUN_METRICS_SCHEMA).withColumn(
+            "finished", F.lit(now).cast("timestamp")
+        )
+        df.write.mode("append").parquet(self.metrics_path)
+
+    def invalidate(self, buckets: list[int], stage: str) -> None:
+        """Drop completion rows for given buckets (e.g. digest changed between
+        snapshots) by rewriting the metrics table without them."""
+        cur = self._read()
+        keep = cur.where(
+            ~((F.col("stage") == stage) & F.col("bucket").isin([int(b) for b in buckets]))
+        )
+        tmp = self.metrics_path + ".tmp"
+        keep.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.metrics_path)
+
+
+def resumable_fingerprint(
+    ctx: RunContext,
+    pages: DataFrame,
+    out_path: str,
+    n_buckets: int = 16,
+    stage: str = "fingerprint",
+    cfg=None,
+) -> DataFrame:
+    """Fingerprint only buckets not yet marked done; append results partitioned
+    by bucket; mark completions.  Returns the full docs_fp table (existing +
+    newly computed).  Kill/rerun => completed buckets are never recomputed
+    (tests/test_resume.py asserts via Spark accumulators)."""
+    from bigtrees_spark.config import DEFAULT_CONFIG
+    from bigtrees_spark.operators.digest import bucket_of
+    from bigtrees_spark.operators.fingerprint import fingerprint_docs
+
+    cfg = cfg or DEFAULT_CONFIG
+    pages_b = pages.withColumn("bucket", bucket_of("url", n_buckets))
+    all_buckets = pages_b.select("bucket").distinct()
+    pending = ctx.pending_buckets(all_buckets, stage)
+    pending_list = [r["bucket"] for r in pending.collect()]
+
+    if pending_list:
+        todo = pages_b.join(F.broadcast(pending), "bucket", "left_semi")
+        fp = fingerprint_docs(todo, cfg).withColumn(
+            "bucket", bucket_of("url", n_buckets)
+        )
+        fp.write.mode("append").partitionBy("bucket").parquet(out_path)
+        ctx.mark_done(pending_list, stage)
+
+    return ctx.spark.read.parquet(out_path)

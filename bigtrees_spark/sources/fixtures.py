@@ -89,6 +89,9 @@ def generate_corpus(n_docs: int = 500, seed: int = 42) -> Corpus:
 
     def add_doc(text: str, site: int, group: str | None, kind: str | None) -> int:
         nonlocal doc_id
+        # text column holds the extraction-canonical form (whitespace collapsed)
+        # so extract_text(html) == text byte-for-byte — the input_hint invariant
+        text = " ".join(text.split())
         u = _url(site, doc_id)
         lang = langs[int(rng.choice(3, p=[0.90, 0.08, 0.02]))]
         rows.append(

@@ -1,0 +1,68 @@
+"""Multimodal plumbing: schema, batch shape, determinism (decode is stubbed —
+the deterministic fake decoder exercises the real Spark-side contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigtrees_spark.operators.multimodal import (
+    MEDIA_META_SCHEMA,
+    decode_image,
+    drop_payload,
+    extract_media_features,
+    fake_decode,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(f"img://{i}", bytes([i % 256]) * (100 + 37 * i)) for i in range(20)]
+    rows.append(("img://empty", b""))
+    return spark.createDataFrame(rows, "url string, payload binary").cache()
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_fake_decode_deterministic():
+    a = fake_decode(b"payload")
+    b = fake_decode(b"payload")
+    assert a[0] == b[0] and a[1] == b[1] and (a[2] == b[2]).all()
+
+
+def test_extract_media_features_schema_and_rows(media):
+    out = extract_media_features(media)
+    assert out.schema == MEDIA_META_SCHEMA
+    rows = out.collect()
+    assert len(rows) == media.count()
+    by_url = {r.url: r for r in rows}
+    assert by_url["img://empty"].n_bytes == 0
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(r.width >= 1 and r.height >= 1 for r in rows)
+    # content digest matches hashlib on the driver
+    import hashlib
+
+    src = {r.url: bytes(r.payload) for r in media.collect()}
+    for u, r in by_url.items():
+        assert r.content_sha256 == hashlib.sha256(src[u]).hexdigest()
+
+
+def test_extract_deterministic_across_runs(media):
+    a = {r.url: r.feature for r in extract_media_features(media).collect()}
+    b = {r.url: r.feature for r in extract_media_features(media.repartition(5)).collect()}
+    assert a == b
+
+
+def test_frame_sample_plan(media):
+    out = frame_sample_plan(media, every_n_bytes=64)
+    rows = out.where("url = 'img://3'").collect()
+    # payload of url img://3 is 100+37*3 = 211 bytes -> offsets 0,64,128,192
+    assert [r.offset for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 64, 128, 192]
+    assert "payload" not in out.columns
+
+
+def test_drop_payload(media):
+    assert "payload" not in drop_payload(media).columns

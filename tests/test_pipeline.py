@@ -1,0 +1,125 @@
+"""End-to-end gates: recall >= 0.99 vs the brute-force oracle, idempotence,
+permutation invariance, exact-dup semantics, substring pass."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigtrees_spark import oracle
+from bigtrees_spark.config import DEFAULT_CONFIG as CFG
+from bigtrees_spark.operators import dedup
+from bigtrees_spark.operators.fingerprint import fingerprint_docs
+from bigtrees_spark.operators.substring import substring_edges
+from bigtrees_spark.plans.pipeline import cluster_implied_pairs, near_dedup_pipeline
+
+
+@pytest.fixture(scope="module")
+def result(pages):
+    return near_dedup_pipeline(pages)
+
+
+@pytest.fixture(scope="module")
+def found_pairs(result):
+    return {(r.url_l, r.url_r) for r in cluster_implied_pairs(result.clusters).collect()}
+
+
+def test_recall_gate(found_pairs, corpus):
+    """THE gate: dup-pair recall >= 0.99 vs oracle (BASELINE.json)."""
+    truth = oracle.near_pairs(corpus.pages, CFG)
+    assert truth, "fixture must plant pairs"
+    assert oracle.recall(found_pairs, truth) >= 0.99
+
+
+def test_planted_groups_coclustered(result, corpus):
+    """Every planted exact/near group lands in one cluster."""
+    labels = {r.url: r.cluster_id for r in result.clusters.collect()}
+    for gid, grp in corpus.groups.groupby("group_id"):
+        if grp.kind.iloc[0] == "substring":
+            continue  # below-threshold by construction; separate pass
+        cids = {labels[u] for u in grp.url}
+        assert len(cids) == 1, f"group {gid} split: {cids}"
+
+
+def test_clusters_cover_all_urls(result, corpus):
+    assert result.clusters.count() == len(corpus.pages)
+    assert result.clusters.select("url").distinct().count() == len(corpus.pages)
+
+
+def test_cluster_id_is_min_url(result):
+    bad = (
+        result.clusters.groupBy("cluster_id")
+        .agg(F.min("url").alias("mu"))
+        .where(F.col("cluster_id") != F.col("mu"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_permutation_invariance(spark, pages, result):
+    """Row order / partitioning must not change cluster assignments
+    (SURVEY.md §5 property: determinism under parallelism)."""
+    shuffled = pages.repartition(7, "lang").sortWithinPartitions(F.desc("url"))
+    res2 = near_dedup_pipeline(shuffled)
+    a = {(r.url, r.cluster_id) for r in result.clusters.collect()}
+    b = {(r.url, r.cluster_id) for r in res2.clusters.collect()}
+    assert a == b
+
+
+def test_exact_dupes_match_oracle(pages, corpus):
+    fp = fingerprint_docs(pages)
+    groups = dedup.exact_dupe_groups(fp).collect()
+    truth = oracle.exact_pairs(corpus.pages)
+    got = set()
+    for g in groups:
+        ms = sorted(g.members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                got.add((ms[i], ms[j]))
+    assert got == truth
+    for g in groups:  # scoreSets semantics: singletons dropped, savings=(n-1)*bytes
+        assert g.n_members > 1
+        assert g.savings == (g.n_members - 1) * g.n_bytes
+
+
+def test_dupes_report_ordering(pages):
+    fp = fingerprint_docs(pages)
+    rep = dedup.dupes_report(fp).collect()
+    savings = [r.savings for r in rep]
+    assert savings == sorted(savings, reverse=True)
+
+
+def test_substring_pass_finds_planted(pages, corpus):
+    """Planted >=512-byte excerpt pairs are found by the winnowing pass."""
+    edges = {
+        (r.url_l, r.url_r)
+        for r in substring_edges(pages.select("url", "text")).collect()
+    }
+    sub = corpus.groups[corpus.groups.kind == "substring"]
+    assert len(sub) > 0
+    for gid, grp in sub.groupby("group_id"):
+        urls = sorted(grp.url)
+        pair = (urls[0], urls[1])
+        assert pair in edges, f"substring pair missed: {pair}"
+
+
+def test_substring_pass_no_spurious_cross_unique_edges(spark):
+    """Unrelated random docs produce no substring edges."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"u{i}", " ".join(f"q{rng.integers(0, 10**9)}" for _ in range(200)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    assert substring_edges(df).count() == 0
+
+
+def test_idempotence(pages, result):
+    """Running the pipeline again over the same input yields identical
+    clusters (reference todo DupeMap.hs:207-209 made a hard guarantee)."""
+    res2 = near_dedup_pipeline(pages)
+    a = {(r.url, r.cluster_id) for r in result.clusters.collect()}
+    b = {(r.url, r.cluster_id) for r in res2.clusters.collect()}
+    assert a == b

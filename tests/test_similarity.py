@@ -1,0 +1,67 @@
+"""Similarity search: brute-force cosine top-k vs numpy oracle; LSH path
+recall on planted near-identical vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bigtrees_spark.operators.similarity import brute_force_topk, lsh_neardup_pairs
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, DIM)).astype(np.float32)
+    # plant 10 near-dup pairs: id 100+i is a tiny perturbation of id i
+    near = base[:10] + 0.01 * rng.standard_normal((10, DIM)).astype(np.float32)
+    ids = list(range(40)) + [100 + i for i in range(10)]
+    mat = np.vstack([base, near])
+    return ids, mat
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark, vectors):
+    ids, mat = vectors
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(ids, mat)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+
+
+def test_brute_force_topk_matches_numpy(spark, vec_df, vectors):
+    ids, mat = vectors
+    queries = vec_df.where("vec_id < 5")
+    got = brute_force_topk(queries, vec_df, k=3).collect()
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    id_arr = np.array(ids)
+    for q in range(5):
+        qi = ids.index(q)
+        order = [
+            (ids[j], float(sims[qi, j]))
+            for j in np.argsort(-sims[qi])
+            if ids[j] != q
+        ][:3]
+        got_q = sorted([r for r in got if r.query_id == q], key=lambda r: r.rank)
+        assert [r.neighbor_id for r in got_q] == [i for i, _ in order]
+        for r, (_, s) in zip(got_q, order):
+            assert abs(r.cosine - s) < 1e-5
+
+
+def test_topk_excludes_self(vec_df):
+    got = brute_force_topk(vec_df.where("vec_id < 3"), vec_df, k=5).collect()
+    assert all(r.neighbor_id != r.query_id for r in got)
+
+
+def test_lsh_neardup_finds_planted(vec_df):
+    pairs = {
+        (r.id_l, r.id_r)
+        for r in lsh_neardup_pairs(vec_df, cosine_threshold=0.95, dim=DIM).collect()
+    }
+    planted = {(i, 100 + i) for i in range(10)}
+    found = len(pairs & planted)
+    assert found >= 9  # LSH recall on eps-perturbed pairs
