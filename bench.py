@@ -138,6 +138,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     n_docs = 0
     try:
+        # warm-up: spin Python UDF workers, JIT the codegen paths, touch the
+        # parquet footers — the timed section measures the engine, not
+        # process startup (tasty-bench-style warm runs)
+        from pyspark.sql import functions as F
+
+        warm = _corpus(spark, sf_dir).limit(400)
+        from bigtrees_spark.plans.pipeline import near_dedup_pipeline
+
+        near_dedup_pipeline(warm, persist=False).clusters.count()
+
         for name, fn in QUERIES.items():
             t0 = time.time()
             out = fn(spark, sf_dir)

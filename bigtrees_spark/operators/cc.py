@@ -65,17 +65,32 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = DRIVER_CC_MAX_EDGES
 ) -> DataFrame:
     """edges(url_l, url_r) -> labels(url, cluster_id) for every node that
-    appears in an edge.  cluster_id = min(url) of the component."""
+    appears in an edge.  cluster_id = min(url) of the component.
+
+    Adaptive strategy (same spirit as Spark's broadcast-join threshold): when
+    the deduped edge set is small enough to fit on the driver, a local
+    union-find answers in one job instead of O(log n) shuffle rounds; above
+    the threshold, the distributed large-star/small-star loop runs.  Both
+    paths produce identical labels (tests force driver_threshold=0 to gate
+    the distributed path).  At 10^12-doc scale the distributed path is the
+    one that runs; the driver path keeps incremental/small-partition runs
+    from paying 10+ scheduler round-trips for kilobyte graphs.
+    """
     e = (
         edges.select(F.col("url_l").alias("u"), F.col("url_r").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    if e.count() <= driver_threshold:
+        return _driver_cc(e)
     prev = _checksum(e)
     for _ in range(max_iter):
         e = _large_star(e).localCheckpoint()
@@ -92,6 +107,31 @@ def connected_components(
     return labels.unionByName(roots).groupBy("url").agg(
         F.min("cluster_id").alias("cluster_id")
     )
+
+
+def _driver_cc(e: DataFrame) -> DataFrame:
+    """Local union-find over a collected edge list (small-graph fast path)."""
+    spark = e.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in e.toLocalIterator():
+        ra, rb = find(row["u"]), find(row["v"])
+        if ra != rb:
+            # union by label order so smaller string wins as root
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "url string, cluster_id string")
 
 
 def attach_labels(docs: DataFrame, labels: DataFrame, url_col: str = "url") -> DataFrame:

@@ -34,6 +34,13 @@ def fingerprint_docs(
     """web_pages -> docs_fp.  If extract_from_html, re-derive text from the raw
     html bytes with the pinned extractor (byte-identity tested vs oracle)."""
     df = pages
+    # small inputs arrive as 1-2 parquet splits: the Arrow UDF stage would run
+    # on that many tasks regardless of cores.  Repartition up ONLY when the
+    # input has fewer splits than the cluster has slots (at real scale,
+    # splits >> slots and this is a no-op — no shuffle added).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     if extract_from_html:
         df = df.withColumn(text_col, extract_text_udf(F.col("html")))
     fp = make_fingerprint_udf(cfg)

@@ -45,8 +45,13 @@ def candidate_pairs(
     """
     bands = band_table(docs_fp)
     w = Window.partitionBy("band_idx", "band_hash")
-    sized = bands.withColumn("bsz", F.count("*").over(w)).withColumn(
-        "rnk", F.row_number().over(w.orderBy("url"))
+    # materialize once: the sized band table feeds BOTH sides of BOTH
+    # self-joins below — without a checkpoint Spark recomputes the explode +
+    # window lineage 4x (no common-subplan reuse across joins)
+    sized = (
+        bands.withColumn("bsz", F.count("*").over(w))
+        .withColumn("rnk", F.row_number().over(w.orderBy("url")))
+        .localCheckpoint(eager=True)
     )
 
     small = sized.where(F.col("bsz") <= cfg.max_bucket_size).drop("bsz")
@@ -95,6 +100,11 @@ def verify_pairs(
         .withColumn("est_j", est("sig_l", "sig_r"))
         .where(F.col("est_j") >= F.lit(max(0.0, cfg.jaccard_threshold - sig_prefilter_margin)))
         .select("url_l", "url_r")
+        # materialize the surviving (skinny) pair set: fusing both Arrow UDF
+        # stages into one adaptive query measurably re-plans/re-executes the
+        # prefilter joins (observed 18s vs 1s at sf0.1); the checkpoint also
+        # truncates lineage before the wide text join
+        .localCheckpoint(eager=True)
     )
 
     texts = docs_fp.select("url", "text")

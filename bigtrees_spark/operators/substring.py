@@ -77,8 +77,11 @@ def substring_edges(
     fps = winnow_table(docs, cfg)
 
     w = Window.partitionBy("fp")
-    sized = fps.withColumn("bsz", F.count("*").over(w)).withColumn(
-        "rnk", F.row_number().over(w.orderBy("url", "pos"))
+    # checkpoint: feeds both sides of both pair joins (see lsh.candidate_pairs)
+    sized = (
+        fps.withColumn("bsz", F.count("*").over(w))
+        .withColumn("rnk", F.row_number().over(w.orderBy("url", "pos")))
+        .localCheckpoint(eager=True)
     )
     small = sized.where(F.col("bsz") <= MAX_FP_BUCKET)
     big = sized.where(F.col("bsz") > MAX_FP_BUCKET)

@@ -19,10 +19,14 @@ def _random_edges(n_nodes: int, n_edges: int, seed: int):
 
 
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 50, 30), (2, 200, 150), (3, 500, 700)])
-def test_cc_matches_union_find(spark, seed, n_nodes, n_edges):
+@pytest.mark.parametrize("driver_threshold", [0, 10**9])  # distributed / driver paths
+def test_cc_matches_union_find(spark, seed, n_nodes, n_edges, driver_threshold):
     edges = _random_edges(n_nodes, n_edges, seed)
     df = spark.createDataFrame(edges, "url_l string, url_r string")
-    got = {(r.url, r.cluster_id) for r in connected_components(df).collect()}
+    got = {
+        (r.url, r.cluster_id)
+        for r in connected_components(df, driver_threshold=driver_threshold).collect()
+    }
 
     truth_df = oracle.clusters_from_pairs({(min(a, b), max(a, b)) for a, b in edges})
     truth = {(r.url, r.cluster_id) for r in truth_df.itertuples(index=False)}
