@@ -386,6 +386,44 @@ def q_lsh_ann_pairs(spark, sf_dir):
     return lsh_neardup_pairs(e, cosine_threshold=0.3, dim=64)
 
 
+def q_prefix_dupes(spark, sf_dir):
+    """Directory-level dupe analog: two url prefixes carrying identical
+    content sets collide on their Merkle digest (sorted member digests)."""
+    from bigtrees_spark.operators.dedup import prefix_dupe_groups
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # mirror every doc under two prefixes, partitioned into per-16 sections:
+    # sections k of /a and /b carry identical content sets -> one group each
+    mk = lambda p: d.select(  # noqa: E731
+        F.format_string(p, (F.col("doc_id") % 16), F.col("doc_id")).alias("url"), "text"
+    ).select("url", F.length("text").alias("nbytes"), F.sha2("text", 256).alias("sha256"))
+    corpus = mk("site/a%d/%08d").unionByName(mk("site/b%d/%08d"))
+    return prefix_dupe_groups(corpus).select(
+        "prefix_digest",
+        "n_prefixes",
+        "n_docs_each",
+        "n_bytes_each",
+        "savings",
+        F.element_at("prefixes", 1).alias("first_prefix"),
+    )
+
+
+def q_simhash_edges(spark, sf_dir):
+    """SimHash Hamming-radius near-dup pairs over documents ∪ truncated twins
+    (rows-only: token hashing not SQL-expressible)."""
+    from bigtrees_spark.operators.fingerprint import fingerprint_docs
+    from bigtrees_spark.operators.lsh import simhash_edges
+
+    d = _docs(spark, sf_dir)
+    base = d.select(_url().alias("url"), "text")
+    twin = d.select(
+        F.format_string("t%08d", F.col("doc_id")).alias("url"),
+        F.regexp_replace("text", r"(\s+\S+){3}$", "").alias("text"),
+    )
+    fp = fingerprint_docs(base.unionByName(twin))
+    return simhash_edges(fp)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dupes": q_exact_dupes,
@@ -409,6 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_counts": q_winnow_counts,
         "media_features": q_media_features,
         "lsh_ann_pairs": q_lsh_ann_pairs,
+        "prefix_dupes": q_prefix_dupes,
+        "simhash_edges": q_simhash_edges,
     }
 
 
@@ -632,6 +672,25 @@ FROM inter
 JOIN sizes sl ON sl.url = url_l
 JOIN sizes sr ON sr.url = url_r
 WHERE i::DOUBLE / (sl.n + sr.n - i) >= 0.5
+""",
+        "prefix_dupes": """
+WITH corpus AS (
+  SELECT printf('site/a%d/%08d', doc_id % 16, doc_id) AS url, text FROM documents
+  UNION ALL
+  SELECT printf('site/b%d/%08d', doc_id % 16, doc_id) AS url, text FROM documents
+), per_prefix AS (
+  SELECT regexp_extract(url, '^(.*)/[^/]*$', 1) AS prefix,
+         sha256(string_agg(sha256(text), chr(10) ORDER BY sha256(text))) AS prefix_digest,
+         count(*) AS n_docs, sum(length(text)) AS n_bytes
+  FROM corpus GROUP BY 1
+)
+SELECT prefix_digest,
+       count(*) AS n_prefixes,
+       min(n_docs) AS n_docs_each,
+       min(n_bytes) AS n_bytes_each,
+       (count(*) - 1) * min(n_bytes) AS savings,
+       min(prefix) AS first_prefix
+FROM per_prefix GROUP BY 1 HAVING count(*) > 1
 """,
         "substring_dups": """
 WITH chained AS (

@@ -38,6 +38,45 @@ def _corpus(spark, sf_dir):
     return base.unionByName(twin)
 
 
+def _scaling_corpus(spark, sf_dir, n_variants: int | None = None):
+    """Derived corpus for the N-vs-4N scaling run: crossJoin documents with
+    `n_variants` variant ids; each variant prepends a 2x-length stream of
+    variant-unique tokens (pure codegen), so variants of the same doc are
+    mutually NON-duplicate (Jaccard ~0.2 < threshold) while every variant
+    keeps a 3-token-truncated near-dup twin.  One parquet read, no
+    driver-side unions — the corpus itself is built the way a 100 TB input
+    would arrive: wide and partitioned."""
+    from pyspark.sql import functions as F
+
+    if n_variants is None:
+        n_variants = int(os.environ.get("SPARK_GRAFT_SCALE_VARIANTS", "16"))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    v = spark.range(n_variants).withColumnRenamed("id", "v")
+    c = d.crossJoin(v)
+    # per-variant alphanumeric remap (translate = one JVM char pass): variants
+    # of the same doc share ~no token shingles, each keeps its truncated twin
+    src = "0123456789abcdefghijklmnopqrstuvwxyz"
+    s1, s2 = src[:18], src[18:]
+    text_v = None
+    for k in range(n_variants):
+        a, b = k % 18, (k // 18) % 18  # 324 distinct double-rotations
+        perm = (s1[a:] + s1[:a]) + (s2[b:] + s2[:b])
+        branch = F.translate("text", src, perm)
+        text_v = (
+            F.when(F.col("v") == k, branch)
+            if text_v is None
+            else text_v.when(F.col("v") == k, branch)
+        )
+    base = c.select(
+        F.format_string("v%03dd%08d", "v", "doc_id").alias("url"), text_v.alias("text")
+    )
+    twin = c.select(
+        F.format_string("v%03dt%08d", "v", "doc_id").alias("url"),
+        F.regexp_replace(text_v, r"(\s+\S+){3}$", "").alias("text"),
+    )
+    return base.unionByName(twin)
+
+
 def run_dedup(spark, sf_dir) -> int:
     """Full pipeline: fingerprint -> exact collapse -> LSH -> verify -> CC ->
     clusters.  Returns docs processed."""
@@ -109,21 +148,28 @@ QUERIES = {
 def _bench_session(cores: int):
     from bigtrees_spark.session import get_spark
 
+    # local mode: the driver JVM hosts all executor threads — size the heap
+    # for 32 concurrent tasks over fingerprint-wide rows
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark(cores=cores, app_name=f"bench_{cores}")
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
 
 def _time_dedup_at(cores: int, sf_dir: str) -> tuple[float, int]:
-    """Fresh session at `cores`; one warm-up pass is NOT used (cold JVM each
-    level would be unfair in opposite direction); we time the pipeline twice
-    and keep the second run to exclude first-touch parquet footer reads."""
+    """Fresh session at `cores`: warm on the small corpus, then time ONE
+    pipeline run over the 16x scaling corpus."""
+    from bigtrees_spark.plans.pipeline import near_dedup_pipeline
+
     spark = _bench_session(cores)
     try:
-        run_dedup(spark, sf_dir)  # warm
+        near_dedup_pipeline(_corpus(spark, sf_dir).limit(400), persist=False).clusters.count()
+        corpus = _scaling_corpus(spark, sf_dir)
         t0 = time.time()
-        n = run_dedup(spark, sf_dir)
+        res = near_dedup_pipeline(corpus, persist=True)
+        n = res.clusters.count()
         dt = time.time() - t0
+        res.docs_fp.unpersist()
     finally:
         spark.stop()
     return dt, n

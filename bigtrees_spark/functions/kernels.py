@@ -51,6 +51,19 @@ def _stable_hash32(token: str) -> int:
     return h
 
 
+_token_cache64: dict[str, int] = {}
+
+
+def _stable_hash64(token: str) -> int:
+    """64-bit stable token hash (SimHash features), process-cached."""
+    h = _token_cache64.get(token)
+    if h is None:
+        h = int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little")
+        if len(_token_cache64) < 4_000_000:
+            _token_cache64[token] = h
+    return h
+
+
 def token_hashes(tokens: list[str]) -> np.ndarray:
     """uint64 array of 32-bit stable hashes, one per token (order preserved)."""
     return np.fromiter((_stable_hash32(t) for t in tokens), dtype=np.uint64, count=len(tokens))
@@ -138,12 +151,7 @@ def simhash64(tokens: list[str]) -> int:
         return 0
     uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
     h64 = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
-            for t in uniq
-        ),
-        dtype=np.uint64,
-        count=len(uniq),
+        (_stable_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
     )
     bits = (h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     votes = ((bits.astype(np.int64) * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)

@@ -34,11 +34,16 @@ FINGERPRINT_SCHEMA = StructType(
 )
 
 
-def make_fingerprint_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
+def make_fingerprint_udf(
+    cfg: FingerprintConfig = DEFAULT_CONFIG, compute_simhash: bool = True
+):
     """pandas UDF: text -> (minhash signature, simhash, LSH band hashes, n_tokens).
 
     One pass per batch: tokenize once, derive every fingerprint from the same
     token stream so MinHash/SimHash/bands can never disagree about tokenization.
+    SimHash is ~40% of the per-doc cost; pipelines that don't use SimHash edges
+    pass compute_simhash=False (column stays, filled with 0 for schema
+    stability).
     """
 
     @F.pandas_udf(FINGERPRINT_SCHEMA)
@@ -50,7 +55,7 @@ def make_fingerprint_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
             shingles = kernels.shingle_hashes(toks, cfg.shingle_k)
             sig = kernels.minhash_signature(shingles, a, b)
             mh.append(sig.tolist())
-            sh.append(kernels.simhash64(toks))
+            sh.append(kernels.simhash64(toks) if compute_simhash else 0)
             bd.append(kernels.band_hashes(sig, cfg.bands, cfg.rows_per_band).tolist())
             nt.append(len(toks))
         return pd.DataFrame({"minhash": mh, "simhash": sh, "bands": bd, "n_tokens": nt})
@@ -69,6 +74,8 @@ def make_exact_jaccard_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
 
     @F.pandas_udf(DoubleType())
     def exact_jaccard(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+        import numpy as np
+
         out = []
         for ta, tb in zip(text_a, text_b):
             sa = kernels.shingle_hashes(kernels.tokenize(ta or ""), cfg.shingle_k)
@@ -76,7 +83,9 @@ def make_exact_jaccard_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
             if sa.size == 0 and sb.size == 0:
                 out.append(1.0)
                 continue
-            inter = len(set(sa.tolist()) & set(sb.tolist()))
+            # both arrays are sorted-unique (np.unique in shingle_hashes):
+            # merge-intersection, no Python set materialization
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             out.append(inter / union if union else 0.0)
         return pd.Series(out)

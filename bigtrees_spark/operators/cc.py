@@ -122,16 +122,21 @@ def _driver_cc(e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in e.toLocalIterator():
-        ra, rb = find(row["u"]), find(row["v"])
+    pdf_e = e.toPandas()  # Arrow transfer; bounded by driver_threshold edges
+    for u, v in zip(pdf_e["u"].to_numpy(), pdf_e["v"].to_numpy()):
+        ra, rb = find(u), find(v)
         if ra != rb:
             # union by label order so smaller string wins as root
             if ra < rb:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, "url string, cluster_id string")
+    import pandas as pd
+
+    nodes = list(parent)
+    pdf = pd.DataFrame({"url": nodes, "cluster_id": [find(n) for n in nodes]})
+    # Arrow-path createDataFrame: ~10x faster than row-tuple conversion
+    return spark.createDataFrame(pdf, schema="url string, cluster_id string")
 
 
 def attach_labels(docs: DataFrame, labels: DataFrame, url_col: str = "url") -> DataFrame:

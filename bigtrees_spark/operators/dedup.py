@@ -63,6 +63,61 @@ def canonical_docs(docs_fp: DataFrame, key: str = "sha256") -> DataFrame:
     )
 
 
+def prefix_dupe_groups(docs_fp: DataFrame, prefix_expr=None) -> DataFrame:
+    """Duplicate groups at url-PREFIX granularity — the directory-level dupe
+    analog.  A prefix's digest is the Merkle hash of its sorted member digests
+    (hashContents rule, HashTree/Base.hs:69-70), so two sections with
+    identical content sets collide exactly like two identical directories.
+
+    Returns: prefix_digest, n_prefixes, prefixes (sorted), n_docs_each.
+    """
+    if prefix_expr is None:
+        # https://site/section/doc -> https://site/section
+        prefix_expr = F.regexp_extract("url", r"^(.*)/[^/]*$", 1)
+    per_prefix = (
+        docs_fp.withColumn("prefix", prefix_expr)
+        .groupBy("prefix")
+        .agg(
+            F.sha2(F.concat_ws("\n", F.sort_array(F.collect_list("sha256"))), 256).alias(
+                "prefix_digest"
+            ),
+            F.count("*").alias("n_docs"),
+            F.sum("nbytes").alias("n_bytes"),
+        )
+    )
+    return (
+        per_prefix.groupBy("prefix_digest")
+        .agg(
+            F.count("*").alias("n_prefixes"),
+            F.sort_array(F.collect_list("prefix")).alias("prefixes"),
+            F.first("n_docs").alias("n_docs_each"),
+            F.first("n_bytes").alias("n_bytes_each"),
+        )
+        .where(F.col("n_prefixes") > 1)
+        .withColumn("savings", (F.col("n_prefixes") - 1) * F.col("n_bytes_each"))
+    )
+
+
+def simplify_dupes(doc_groups: DataFrame, prefix_groups: DataFrame) -> DataFrame:
+    """simplifyDupes containment pruning (DupeMap.hs:147-154): drop doc-level
+    dupe groups whose EVERY member lies under some prefix of an already
+    reported prefix-level group — the doc group is redundant detail of the
+    bigger finding.  Anti-join on the member->prefix relation."""
+    covered_prefixes = prefix_groups.select(
+        F.explode("prefixes").alias("prefix")
+    ).distinct()
+    exploded = doc_groups.select(
+        "sha256", F.explode("members").alias("url")
+    ).withColumn("prefix", F.regexp_extract("url", r"^(.*)/[^/]*$", 1))
+    # groups with at least one member OUTSIDE covered prefixes survive
+    uncovered = (
+        exploded.join(F.broadcast(covered_prefixes), "prefix", "left_anti")
+        .select("sha256")
+        .distinct()
+    )
+    return doc_groups.join(uncovered, "sha256", "left_semi")
+
+
 def exact_cluster_assignments(docs_fp: DataFrame, key: str = "sha256") -> DataFrame:
     """clusters(url, cluster_id) for exact duplicates only: cluster_id =
     min(url) within the digest group (deterministic canonical label);

@@ -104,3 +104,21 @@ def url_prefix_subtree(docs_fp: DataFrame, prefix: str) -> DataFrame:
 def contains_hash(docs_fp: DataFrame, digest: str) -> bool:
     """treeContainsHash (Search.hs:120-126): any row with the given digest?"""
     return docs_fp.where(F.col("sha256") == digest).limit(1).count() > 0
+
+
+def zero_mod_time(df: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
+    """zeroModTime normalizer (HashTree/Base.hs:33-37): comparison-insensitive
+    timestamp column, used when diffing snapshots whose scan times differ."""
+    return df.withColumn(ts_col, F.lit("1970-01-01 00:00:00").cast("timestamp"))
+
+
+def rename_root(df: DataFrame, old_prefix: str, new_prefix: str, url_col: str = "url") -> DataFrame:
+    """renameRoot normalizer (HashTree/Base.hs:175-181): rewrite the url
+    prefix so two snapshots rooted differently compare by relative path."""
+    return df.withColumn(
+        url_col,
+        F.when(
+            F.col(url_col).startswith(old_prefix),
+            F.concat(F.lit(new_prefix), F.expr(f"substring({url_col}, {len(old_prefix) + 1})")),
+        ).otherwise(F.col(url_col)),
+    )

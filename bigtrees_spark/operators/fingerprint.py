@@ -30,6 +30,7 @@ def fingerprint_docs(
     cfg: FingerprintConfig = DEFAULT_CONFIG,
     text_col: str = "text",
     extract_from_html: bool = False,
+    compute_simhash: bool = True,
 ) -> DataFrame:
     """web_pages -> docs_fp.  If extract_from_html, re-derive text from the raw
     html bytes with the pinned extractor (byte-identity tested vs oracle)."""
@@ -43,7 +44,13 @@ def fingerprint_docs(
         df = df.repartition(parallelism)
     if extract_from_html:
         df = df.withColumn(text_col, extract_text_udf(F.col("html")))
-    fp = make_fingerprint_udf(cfg)
+    return _fingerprint_projection(df, cfg, text_col, compute_simhash)
+
+
+def _fingerprint_projection(
+    df: DataFrame, cfg: FingerprintConfig, text_col: str, compute_simhash: bool = True
+) -> DataFrame:
+    fp = make_fingerprint_udf(cfg, compute_simhash)
     cols = [c for c in ("url", "warc_ts", "lang") if c in df.columns]
     return (
         df.select(
@@ -64,3 +71,30 @@ def fingerprint_docs(
             F.col("_fp.n_tokens").alias("n_tokens"),
         )
     )
+
+
+def incremental_fingerprint(
+    pages: DataFrame,
+    old_docs_fp: DataFrame | None,
+    cfg: FingerprintConfig = DEFAULT_CONFIG,
+    key_cols: tuple[str, ...] = ("url", "warc_ts"),
+) -> DataFrame:
+    """Fingerprint reuse: rows whose (url, warc_ts) already exist in a prior
+    docs_fp keep their fingerprints; only new/changed rows run the UDF stage.
+
+    This is the reference's precomputed-fingerprint shortcut (git-annex
+    filename digests, Hash.hs:152-166 / Build.hs:229-233) plus its planned
+    "intelligent re-hashing of only the files whose mod times have changed"
+    (README.md:49, todo) — realized as one anti-join + one semi-join on the
+    identity key.  At scale both joins shuffle only the skinny key columns of
+    the NEW snapshot; the old fingerprint table streams through untouched.
+    """
+    if old_docs_fp is None:
+        return fingerprint_docs(pages, cfg)
+    keys = list(key_cols)
+    reused = old_docs_fp.join(
+        pages.select(*keys).distinct(), keys, "left_semi"
+    )
+    fresh_pages = pages.join(old_docs_fp.select(*keys).distinct(), keys, "left_anti")
+    fresh = fingerprint_docs(fresh_pages, cfg)
+    return reused.select(*fresh.columns).unionByName(fresh)

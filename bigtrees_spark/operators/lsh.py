@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
-from bigtrees_spark.functions.spark_udfs import make_exact_jaccard_udf, make_sig_jaccard_udf
+from bigtrees_spark.functions.spark_udfs import make_exact_jaccard_udf
 
 NEIGHBOR_K = 3  # windowed pairing width inside over-cap buckets
 
@@ -93,11 +93,17 @@ def verify_pairs(
     Returns edges: url_l, url_r, jaccard (>= cfg.jaccard_threshold).
     """
     sigs = docs_fp.select("url", "minhash")
-    est = make_sig_jaccard_udf()
+    # estimated Jaccard = fraction of agreeing MinHash slots — pure codegen
+    # (zip_with + aggregate), no Python round-trip for the prefilter
+    est = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.greatest(F.size(a), F.lit(1))
     pre = (
         pairs.join(sigs.withColumnsRenamed({"url": "url_l", "minhash": "sig_l"}), "url_l")
         .join(sigs.withColumnsRenamed({"url": "url_r", "minhash": "sig_r"}), "url_r")
-        .withColumn("est_j", est("sig_l", "sig_r"))
+        .withColumn("est_j", est(F.col("sig_l"), F.col("sig_r")))
         .where(F.col("est_j") >= F.lit(max(0.0, cfg.jaccard_threshold - sig_prefilter_margin)))
         .select("url_l", "url_r")
         # materialize the surviving (skinny) pair set: fusing both Arrow UDF
@@ -127,8 +133,6 @@ def simhash_edges(
     with Hamming distance <= 3 agrees exactly on at least one chunk), groupBy
     chunk value, pair within buckets, verify Hamming via vectorized popcount.
     """
-    from bigtrees_spark.functions.spark_udfs import make_hamming_udf
-
     chunks = docs_fp.select(
         "url",
         "simhash",
@@ -163,9 +167,11 @@ def simhash_edges(
         )
         .distinct()
     )
-    hamming = make_hamming_udf()
     return (
-        pairs.withColumn("hamming", hamming("sh_l", "sh_r"))
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r"))),  # JVM popcount
+        )
         .where(F.col("hamming") <= F.lit(cfg.simhash_hamming_max))
         .select("url_l", "url_r", "hamming")
     )

@@ -46,7 +46,12 @@ def near_dedup_pipeline(
     extra_edges: DataFrame | None = None,
     persist: bool = True,
 ) -> DedupResult:
-    docs_fp = fingerprint_docs(pages, cfg, extract_from_html=extract_from_html)
+    docs_fp = fingerprint_docs(
+        pages,
+        cfg,
+        extract_from_html=extract_from_html,
+        compute_simhash=use_simhash_edges,  # skip the ~40% SimHash cost when unused
+    )
     if persist:
         docs_fp = docs_fp.persist()
 

@@ -206,6 +206,10 @@ def derive_snapshot_v2(corpus: Corpus, seed: int = 43) -> tuple[pd.DataFrame, pd
         new_text = " ".join(toks)
         pages.at[i, "text"] = new_text
         pages.at[i, "html"] = _mk_html(new_text, 0, "edited")
+        # a re-crawl that changed content carries a new capture timestamp —
+        # the mod-time bump the reference's incremental re-hash keys on
+        # (README.md:49); (url, warc_ts) is the content-version identity
+        pages.at[i, "warc_ts"] = pages.at[i, "warc_ts"] + timedelta(days=30)
         deltas.append({"kind": "Edit", "url": pages.at[i, "url"], "url_new": None})
     for i in mv_i:
         old = pages.at[i, "url"]

@@ -123,3 +123,18 @@ def test_idempotence(pages, result):
     a = {(r.url, r.cluster_id) for r in result.clusters.collect()}
     b = {(r.url, r.cluster_id) for r in res2.clusters.collect()}
     assert a == b
+
+
+def test_golden_clusters(result):
+    """Committed golden (FIXTURES.md T5): cluster assignments for the 250-doc
+    seed-42 fixture, generated once from the brute-force oracle.  Regresses
+    BOTH the fixture generator and the pipeline (reference golden tarball
+    pattern, app/Cmd/Hash.hs:60-77)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden_clusters_250_seed42.json")
+    with open(path) as f:
+        golden = json.load(f)
+    got = {r.url: r.cluster_id for r in result.clusters.collect()}
+    assert got == golden

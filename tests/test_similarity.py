@@ -65,3 +65,30 @@ def test_lsh_neardup_finds_planted(vec_df):
     planted = {(i, 100 + i) for i in range(10)}
     found = len(pairs & planted)
     assert found >= 9  # LSH recall on eps-perturbed pairs
+
+
+def test_ivf_topk_high_recall_vs_brute_force(spark, vec_df):
+    from bigtrees_spark.operators.similarity import ivf_topk
+
+    q = vec_df.where("vec_id < 5")
+    exact = brute_force_topk(q, vec_df, k=3).collect()
+    approx = ivf_topk(q, vec_df, k=3, dim=DIM, n_centroids=8, n_probe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact_sets[q_] & approx_sets.get(q_, set())) for q_ in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.6  # IVF recall with n_probe=4 of 8 lists
+
+
+def test_ivf_planted_neardups_found(spark, vec_df):
+    """The planted eps-perturbed twin is ~always in the same IVF list."""
+    from bigtrees_spark.operators.similarity import ivf_topk
+
+    q = vec_df.where("vec_id >= 100")  # the 10 perturbed twins
+    got = ivf_topk(q, vec_df, k=1, dim=DIM, n_centroids=8, n_probe=3).collect()
+    hit = sum(1 for r in got if r.neighbor_id == r.query_id - 100)
+    assert hit >= 8
