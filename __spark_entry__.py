@@ -424,6 +424,17 @@ def q_simhash_edges(spark, sf_dir):
     return simhash_edges(fp)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (rows-only: probe-dependent approximation has no
+    SQL oracle; recall vs brute force is gated in tests/test_similarity.py)."""
+    from bigtrees_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return ivf_topk(e.where(F.col("vec_id") < 10), e, k=3, dim=64, n_centroids=16, n_probe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dupes": q_exact_dupes,
@@ -449,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "prefix_dupes": q_prefix_dupes,
         "simhash_edges": q_simhash_edges,
+        "ivf_topk": q_ivf_topk,
     }
 
 

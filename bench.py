@@ -29,7 +29,9 @@ def _corpus(spark, sf_dir):
     (same derivation as __spark_entry__)."""
     from pyspark.sql import functions as F
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     base = d.select(F.format_string("d%08d", "doc_id").alias("url"), "text")
     twin = d.select(
         F.format_string("t%08d", "doc_id").alias("url"),
@@ -50,7 +52,15 @@ def _scaling_corpus(spark, sf_dir, n_variants: int | None = None):
 
     if n_variants is None:
         n_variants = int(os.environ.get("SPARK_GRAFT_SCALE_VARIANTS", "16"))
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism * 4
+    # repartition the skinny base BEFORE the heavy derivation: the parquet is
+    # 1-2 splits, and without this every translate/regexp of the x2n_variants
+    # corpus runs on <=2 tasks (measured: identical wall at 2 and 8 cores)
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(par)
+    )
     v = spark.range(n_variants).withColumnRenamed("id", "v")
     c = d.crossJoin(v)
     # per-variant alphanumeric remap (translate = one JVM char pass): variants

@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
+        # shuffle/checkpoint scratch on tmpfs: the sandbox's shared disk is
+        # the one resource that does NOT scale with cores (measured: flat
+        # stage times 8 -> 32 cores); on a real cluster this is per-node
+        # local SSD and the default is fine
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-scratch"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

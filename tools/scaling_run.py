@@ -21,7 +21,9 @@ def main() -> None:
     from bigtrees_spark.plans.pipeline import near_dedup_pipeline
 
     results = {}
-    for cores in (8, 32):
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
+    for cores in (lo, hi):
         spark = bench._bench_session(cores)
         try:
             near_dedup_pipeline(
@@ -37,13 +39,15 @@ def main() -> None:
             spark.stop()
         results[cores] = {"sec": round(dt, 1), "docs": n, "docs_per_sec": round(n / dt, 1)}
 
-    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
     out = {
         "sf_dir": sf_dir,
         "n_variants": n_variants,
-        "docs": results[8]["docs"],
-        "local8": results[8],
-        "local32": results[32],
+        "docs": results[lo]["docs"],
+        f"local{lo}": results[lo],
+        f"local{hi}": results[hi],
+        "cores_low": lo,
+        "cores_high": hi,
         "scaling_efficiency": round(eff, 3),
     }
     with open(out_path, "w") as f:
