@@ -628,11 +628,14 @@ WITH h AS (
   FROM documents
 )
 SELECT doc_id,
+  -- tie rule must match the Spark cascade exactly: on equal hit counts the
+  -- alphabetically-smaller language wins (de < en < es < fr), i.e. a
+  -- language needs STRICT > only against languages that sort before it
   CASE
-    WHEN hits_de > 0 AND hits_de > hits_en AND hits_de > hits_es AND hits_de > hits_fr THEN 'de'
-    WHEN hits_en > 0 AND hits_en >= hits_de AND hits_en > hits_es AND hits_en > hits_fr THEN 'en'
-    WHEN hits_es > 0 AND hits_es >= hits_de AND hits_es >= hits_en AND hits_es > hits_fr THEN 'es'
-    WHEN hits_fr > 0 AND hits_fr >= hits_de AND hits_fr >= hits_en AND hits_fr >= hits_es THEN 'fr'
+    WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+    WHEN hits_en > 0 AND hits_en > hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+    WHEN hits_es > 0 AND hits_es > hits_de AND hits_es > hits_en AND hits_es >= hits_fr THEN 'es'
+    WHEN hits_fr > 0 AND hits_fr > hits_de AND hits_fr > hits_en AND hits_fr > hits_es THEN 'fr'
     ELSE 'und' END AS lang_guess
 FROM h
 """,
