@@ -103,3 +103,31 @@ def test_streaming_ingest_dedups(spark, tmp_path):
     n_distinct_texts = corpus.pages.text.nunique()
     assert out.count() == n_distinct_texts  # exact dups dropped in-stream
     assert out.select("sha256").distinct().count() == n_distinct_texts
+
+
+def test_incremental_run_digest_driven(spark, pages, corpus, tmp_path):
+    """Merkle-digest-driven incremental: second run over a 7%-changed snapshot
+    re-fingerprints only the changed buckets and matches a full recompute."""
+    from bigtrees_spark.plans.incremental import incremental_run
+
+    state = str(tmp_path / "state")
+
+    r1 = incremental_run(spark, pages, state, n_buckets=16)
+    assert r1.n_buckets_changed == r1.n_buckets_total  # first run: all fresh
+    assert r1.docs_fp.count() == pages.count()
+
+    pages_v2, _ = derive_snapshot_v2(corpus, seed=43)
+    new_pages = corpus_to_spark(spark, pages_v2)
+    r2 = incremental_run(spark, new_pages, state, n_buckets=16)
+    assert 0 < r2.n_buckets_changed <= r2.n_buckets_total
+    assert r2.docs_fp.count() == new_pages.count()
+
+    full = fingerprint_docs(new_pages)
+    a = {(r.url, r.sha256) for r in r2.docs_fp.select("url", "sha256").collect()}
+    b = {(r.url, r.sha256) for r in full.select("url", "sha256").collect()}
+    assert a == b
+
+    # third run, nothing changed: zero buckets recomputed
+    r3 = incremental_run(spark, new_pages, state, n_buckets=16)
+    assert r3.n_buckets_changed == 0
+    assert r3.docs_fp.count() == new_pages.count()

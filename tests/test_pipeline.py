@@ -138,3 +138,14 @@ def test_golden_clusters(result):
         golden = json.load(f)
     got = {r.url: r.cluster_id for r in result.clusters.collect()}
     assert got == golden
+
+
+def test_pipeline_from_html_matches_text_path(spark, pages, result):
+    """input_hint real-input path: pipeline fed ONLY html bytes (text derived
+    by the pinned extractor) yields identical clusters to the text-column
+    path — because extract_text(html) == text byte-for-byte on the fixture."""
+    html_only = pages.drop("text")
+    res_html = near_dedup_pipeline(html_only, extract_from_html=True)
+    a = {(r.url, r.cluster_id) for r in result.clusters.collect()}
+    b = {(r.url, r.cluster_id) for r in res_html.clusters.collect()}
+    assert a == b
