@@ -98,3 +98,34 @@ def diff_with_pruning(
     o = old.join(F.broadcast(changed), bucket_col, "left_semi")
     n = new.join(F.broadcast(changed), bucket_col, "left_semi")
     return snapshot_diff(o, n)
+
+
+def apply_deltas(
+    old: DataFrame, deltas: DataFrame, new_content: DataFrame, key: str = "url", digest: str = "sha256"
+) -> DataFrame:
+    """Replay an edit script against a snapshot — simDelta/simDeltas semantics
+    (/root/reference/lib/System/Directory/BigTrees/Delta.hs:127-136, applied
+    via addSubTree/rmSubTree, Edit.hs:49-97).
+
+    old + deltas(kind,url,url_new) + new_content (content source for Add/Edit
+    digests) -> the reconstructed new snapshot (url, digest).  Property (tested):
+    apply_deltas(old, snapshot_diff(old, new), new) == new — the reference's
+    incremental-update primitive, here four joins and a union.
+    """
+    o = old.select(F.col(key).alias("url"), F.col(digest).alias("digest"))
+    n = new_content.select(F.col(key).alias("url"), F.col(digest).alias("digest"))
+
+    rm_urls = deltas.where(F.col("kind") == "Rm").select("url")
+    edit_urls = deltas.where(F.col("kind") == "Edit").select("url")
+    mv = deltas.where(F.col("kind") == "Mv").select("url", "url_new")
+    add_urls = deltas.where(F.col("kind") == "Add").select("url")
+
+    untouched = (
+        o.join(rm_urls, "url", "left_anti")
+        .join(edit_urls, "url", "left_anti")
+        .join(mv.select("url"), "url", "left_anti")
+    )
+    moved = mv.join(o, "url").select(F.col("url_new").alias("url"), "digest")
+    edited = edit_urls.join(n, "url")   # new digest comes from new content
+    added = add_urls.join(n, "url")
+    return untouched.unionByName(moved).unionByName(edited).unionByName(added)

@@ -90,3 +90,18 @@ def test_diff_pruning_same_result_and_skips_unchanged(spark, corpus):
 def test_diff_empty_on_identical(spark, corpus):
     fp1 = fingerprint_docs(corpus_to_spark(spark, corpus.pages))
     assert snapshot_diff(fp1, fp1).count() == 0
+
+
+def test_apply_deltas_roundtrip(spark, corpus):
+    """simDelta property (Delta.hs:127-136): replaying the diff against the
+    old snapshot reconstructs the new one exactly."""
+    from bigtrees_spark.operators.diff import apply_deltas
+
+    pages_v2, _ = derive_snapshot_v2(corpus, seed=43)
+    old = fingerprint_docs(corpus_to_spark(spark, corpus.pages)).select("url", "sha256")
+    new = fingerprint_docs(corpus_to_spark(spark, pages_v2)).select("url", "sha256")
+    deltas = snapshot_diff(old, new)
+    rebuilt = apply_deltas(old, deltas, new)
+    a = {(r.url, r.digest) for r in rebuilt.collect()}
+    b = {(r.url, r.sha256) for r in new.collect()}
+    assert a == b
