@@ -34,6 +34,16 @@ def _url(col="doc_id"):
     return F.format_string("d%08d", F.col(col))
 
 
+def _drop3(col):
+    """Drop the last 3 whitespace tokens — linear split/slice (the anchored
+    backtracking regex equivalent costs O(n^2) JVM CPU).  Used only by
+    rows-only/smoke queries; oracle-checked queries keep the regex form that
+    exactly matches their SQL."""
+    t = F.split(F.trim(col), r"\s+")
+    n = F.greatest(F.size(t) - F.lit(3), F.lit(0))
+    return F.concat_ws(" ", F.slice(t, 1, n))
+
+
 def _corpus_with_exact_dups(spark, sf_dir) -> DataFrame:
     """documents ∪ copy of every 10th doc (same text, shifted id) — derives
     exact-dup groups deterministically (the driver tables plant none)."""
@@ -59,7 +69,7 @@ def entry(spark: SparkSession) -> DataFrame:
     base = d.select(_url().alias("url"), "text")
     twin = d.select(
         F.format_string("t%08d", F.col("doc_id")).alias("url"),
-        F.regexp_replace("text", r"(\s+\S+){3}$", "").alias("text"),
+        _drop3("text").alias("text"),
     )
     corpus = base.unionByName(twin)
     res = near_dedup_pipeline(corpus, persist=False)
@@ -346,7 +356,7 @@ def q_minhash_lsh_clusters(spark, sf_dir):
     base = d.select(_url().alias("url"), "text")
     twin = d.select(
         F.format_string("t%08d", F.col("doc_id")).alias("url"),
-        F.regexp_replace("text", r"(\s+\S+){3}$", "").alias("text"),
+        _drop3("text").alias("text"),
     )
     res = near_dedup_pipeline(base.unionByName(twin), persist=False)
     return res.clusters
@@ -418,7 +428,7 @@ def q_simhash_edges(spark, sf_dir):
     base = d.select(_url().alias("url"), "text")
     twin = d.select(
         F.format_string("t%08d", F.col("doc_id")).alias("url"),
-        F.regexp_replace("text", r"(\s+\S+){3}$", "").alias("text"),
+        _drop3("text").alias("text"),
     )
     fp = fingerprint_docs(base.unionByName(twin))
     return simhash_edges(fp)
