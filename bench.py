@@ -20,6 +20,16 @@ import sys
 import time
 
 
+def _drop3(col):
+    """Drop the last 3 whitespace tokens — linear split/slice, replacing an
+    anchored backtracking regex that cost ~900 JVM-CPU-seconds per 640k docs."""
+    from pyspark.sql import functions as F
+
+    t = F.split(F.trim(col) if isinstance(col, str) else F.trim(col), r"\s+")
+    n = F.greatest(F.size(t) - F.lit(3), F.lit(0))
+    return F.concat_ws(" ", F.slice(t, 1, n))
+
+
 def _sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -255,13 +265,3 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
-
-
-def _drop3(col):
-    """Drop the last 3 whitespace tokens — linear split/slice, replacing an
-    anchored backtracking regex that cost ~900 JVM-CPU-seconds per 640k docs."""
-    from pyspark.sql import functions as F
-
-    t = F.split(F.trim(col) if isinstance(col, str) else F.trim(col), r"\s+")
-    n = F.greatest(F.size(t) - F.lit(3), F.lit(0))
-    return F.concat_ws(" ", F.slice(t, 1, n))
