@@ -520,11 +520,11 @@ WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents WHERE doc_id % 20 
 """,
         "set_add": """
 WITH a AS (
-  SELECT sha256(text) AS sha256, count(*) AS n_docs, sum(length(text)) AS n_bytes,
+  SELECT sha256(text) AS sha256, count(*) AS n_docs, sum(length(text))::BIGINT AS n_bytes,
          'a' AS note, 0 AS _ord
   FROM documents WHERE doc_id % 7 = 0 GROUP BY 1
 ), b AS (
-  SELECT sha256(text) AS sha256, count(*) AS n_docs, sum(length(text)) AS n_bytes,
+  SELECT sha256(text) AS sha256, count(*) AS n_docs, sum(length(text))::BIGINT AS n_bytes,
          'b' AS note, 1 AS _ord
   FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
 ), u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
@@ -582,18 +582,18 @@ WHERE os IS NOT NULL AND ns IS NOT NULL AND os <> ns
 SELECT (doc_id % 16)::INT AS bucket,
        sha256(string_agg(sha256(text), chr(10) ORDER BY sha256(text))) AS digest,
        count(*) AS n_docs,
-       sum(length(text)) AS n_bytes
+       sum(length(text))::BIGINT AS n_bytes
 FROM documents GROUP BY 1
 """,
         "root_info": """
 WITH l0 AS (
   SELECT (doc_id % 16)::INT AS bucket,
          sha256(string_agg(sha256(text), chr(10) ORDER BY sha256(text))) AS digest,
-         count(*) AS n_docs, sum(length(text)) AS n_bytes
+         count(*) AS n_docs, sum(length(text))::BIGINT AS n_bytes
   FROM documents GROUP BY 1
 )
 SELECT sha256(string_agg(digest, chr(10) ORDER BY digest)) AS root_digest,
-       sum(n_docs) AS total_docs, sum(n_bytes) AS total_bytes
+       sum(n_docs)::BIGINT AS total_docs, sum(n_bytes)::BIGINT AS total_bytes
 FROM l0
 """,
         "token_count": r"""
@@ -706,14 +706,14 @@ WITH corpus AS (
 ), per_prefix AS (
   SELECT regexp_extract(url, '^(.*)/[^/]*$', 1) AS prefix,
          sha256(string_agg(sha256(text), chr(10) ORDER BY sha256(text))) AS prefix_digest,
-         count(*) AS n_docs, sum(length(text)) AS n_bytes
+         count(*) AS n_docs, sum(length(text))::BIGINT AS n_bytes
   FROM corpus GROUP BY 1
 )
 SELECT prefix_digest,
        count(*) AS n_prefixes,
        min(n_docs) AS n_docs_each,
        min(n_bytes) AS n_bytes_each,
-       (count(*) - 1) * min(n_bytes) AS savings,
+       ((count(*) - 1) * min(n_bytes))::BIGINT AS savings,
        min(prefix) AS first_prefix
 FROM per_prefix GROUP BY 1 HAVING count(*) > 1
 """,
