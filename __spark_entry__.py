@@ -445,6 +445,33 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(e.where(F.col("vec_id") < 10), e, k=3, dim=64, n_centroids=16, n_probe=4)
 
 
+def q_error_rows(spark, sf_dir):
+    """Err-node semantics (reference HashTree/Build.hs:109-118: per-node
+    failures become Err rows, never aborted scans).  Oversized html trips the
+    max_html_bytes guard inside the extraction UDF and yields an error row;
+    the guard is a pure function of the input bytes, so the ok/error split is
+    fully SQL-checkable."""
+    import dataclasses
+
+    from bigtrees_spark.config import DEFAULT_CONFIG
+    from bigtrees_spark.operators.fingerprint import fingerprint_docs
+
+    pages = _docs(spark, sf_dir).select(
+        _url().alias("url"),
+        "lang",
+        F.concat(F.lit("<body>"), F.col("text"), F.lit("</body>"))
+        .cast("binary")
+        .alias("html"),
+    )
+    # html = text + 13 wrapper bytes; guard at 413 => error iff text > 400 bytes
+    cfg = dataclasses.replace(DEFAULT_CONFIG, max_html_bytes=413)
+    fp = fingerprint_docs(pages, cfg, extract_from_html=True, compute_simhash=False)
+    return fp.groupBy(
+        "lang",
+        F.when(F.col("error").isNull(), F.lit("ok")).otherwise(F.lit("error")).alias("status"),
+    ).agg(F.count("*").alias("n_docs"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dupes": q_exact_dupes,
@@ -471,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dupes": q_prefix_dupes,
         "simhash_edges": q_simhash_edges,
         "ivf_topk": q_ivf_topk,
+        "error_rows": q_error_rows,
     }
 
 
@@ -716,6 +744,12 @@ SELECT prefix_digest,
        ((count(*) - 1) * min(n_bytes))::BIGINT AS savings,
        min(prefix) AS first_prefix
 FROM per_prefix GROUP BY 1 HAVING count(*) > 1
+""",
+        "error_rows": """
+SELECT lang,
+       CASE WHEN strlen(text) + 13 > 413 THEN 'error' ELSE 'ok' END AS status,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
 """,
         "substring_dups": """
 WITH chained AS (

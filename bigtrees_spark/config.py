@@ -63,6 +63,11 @@ class FingerprintConfig:
     # --- LSH skew handling ---
     max_bucket_size: int = 200       # buckets above this are salted/capped
 
+    # --- error-row guard (Err-node semantics) ---
+    # html payloads above this are rejected as error rows instead of risking
+    # an executor OOM inside the Arrow batch (real crawls contain GB pages).
+    max_html_bytes: int = 8 << 20
+
     def __post_init__(self) -> None:
         assert self.bands * self.rows_per_band <= self.n_perms
         assert self.winnow_gram < self.substring_min_len

@@ -17,12 +17,14 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
 from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
 from bigtrees_spark.functions import kernels
+from bigtrees_spark.sources.extraction import sanitize_err
 
 FINGERPRINT_SCHEMA = StructType(
     [
@@ -30,14 +32,42 @@ FINGERPRINT_SCHEMA = StructType(
         StructField("simhash", LongType(), False),
         StructField("bands", ArrayType(LongType()), False),
         StructField("n_tokens", IntegerType(), False),
+        StructField("error", StringType(), True),
     ]
 )
+
+
+def fingerprint_row(
+    text, cfg: FingerprintConfig, compute_simhash: bool, a, b
+) -> tuple[list[int], int, list[int], int, str | None]:
+    """One doc -> (minhash, simhash, bands, n_tokens, error).
+
+    Any kernel exception yields the empty-token sentinel fingerprint plus the
+    sanitized message — Err-node semantics (reference wraps per-node failures
+    as rows and never aborts the scan, HashTree/Build.hs:109-118); the
+    sentinel keeps the output schema non-null so downstream stages need no
+    null handling, and error rows are excluded from pairing by the pipeline.
+    """
+    try:
+        toks = kernels.tokenize(text or "")
+        shingles = kernels.shingle_hashes(toks, cfg.shingle_k)
+        sig = kernels.minhash_signature(shingles, a, b)
+        sh = kernels.simhash64(toks) if compute_simhash else 0
+        bands = kernels.band_hashes(sig, cfg.bands, cfg.rows_per_band)
+        return sig.tolist(), sh, bands.tolist(), len(toks), None
+    except Exception as e:  # noqa: BLE001 — any per-doc failure becomes a row
+        import numpy as np
+
+        sig = kernels.minhash_signature(np.empty(0, dtype=np.uint64), a, b)
+        bands = kernels.band_hashes(sig, cfg.bands, cfg.rows_per_band)
+        return sig.tolist(), 0, bands.tolist(), 0, sanitize_err(e)
 
 
 def make_fingerprint_udf(
     cfg: FingerprintConfig = DEFAULT_CONFIG, compute_simhash: bool = True
 ):
-    """pandas UDF: text -> (minhash signature, simhash, LSH band hashes, n_tokens).
+    """pandas UDF: text -> (minhash signature, simhash, LSH band hashes,
+    n_tokens, error).
 
     One pass per batch: tokenize once, derive every fingerprint from the same
     token stream so MinHash/SimHash/bands can never disagree about tokenization.
@@ -49,16 +79,17 @@ def make_fingerprint_udf(
     @F.pandas_udf(FINGERPRINT_SCHEMA)
     def fingerprint(texts: pd.Series) -> pd.DataFrame:
         a, b = cfg.minhash_coeffs()
-        mh, sh, bd, nt = [], [], [], []
+        mh, sh, bd, nt, er = [], [], [], [], []
         for t in texts:
-            toks = kernels.tokenize(t or "")
-            shingles = kernels.shingle_hashes(toks, cfg.shingle_k)
-            sig = kernels.minhash_signature(shingles, a, b)
-            mh.append(sig.tolist())
-            sh.append(kernels.simhash64(toks) if compute_simhash else 0)
-            bd.append(kernels.band_hashes(sig, cfg.bands, cfg.rows_per_band).tolist())
-            nt.append(len(toks))
-        return pd.DataFrame({"minhash": mh, "simhash": sh, "bands": bd, "n_tokens": nt})
+            sig, s, bands, n, e = fingerprint_row(t, cfg, compute_simhash, a, b)
+            mh.append(sig)
+            sh.append(s)
+            bd.append(bands)
+            nt.append(n)
+            er.append(e)
+        return pd.DataFrame(
+            {"minhash": mh, "simhash": sh, "bands": bd, "n_tokens": nt, "error": er}
+        )
 
     return fingerprint
 

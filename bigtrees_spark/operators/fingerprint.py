@@ -7,13 +7,17 @@ scan -> ArrowEvalPython -> project, so it scales linearly with input splits.
 
 docs_fp schema:
     url string, warc_ts timestamp, lang string, nbytes long, n_tokens int,
-    sha256 string, minhash array<long>, simhash long, bands array<long>
+    sha256 string, minhash array<long>, simhash long, bands array<long>,
+    error string (nullable)
 
 sha256 is computed JVM-side (F.sha2 inside whole-stage codegen); only the
 MinHash/SimHash/band work crosses into Python, in one vectorized pass.
-Errors never kill the job: null/invalid text fingerprints deterministically
-(empty-token sentinel), matching the reference's Err-node-as-row design
-(HashTree/Build.hs:109-118).
+Errors never kill the job: any per-doc failure in extraction or the
+fingerprint kernels becomes a row with a non-null `error` column and
+sentinel fingerprints, matching the reference's Err-node-as-row design
+(HashTree/Build.hs:109-118, mkErrTree/handleAny; row form
+HashLine.hs:189-192).  The pipeline excludes error rows from pairing and
+reports them as singleton clusters.
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
 from bigtrees_spark.functions.spark_udfs import make_fingerprint_udf
-from bigtrees_spark.sources.extraction import extract_text_udf
+from bigtrees_spark.sources.extraction import make_extract_checked_udf
 
 
 def fingerprint_docs(
@@ -43,7 +47,13 @@ def fingerprint_docs(
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
     if extract_from_html:
-        df = df.withColumn(text_col, extract_text_udf(F.col("html")))
+        extract = make_extract_checked_udf(cfg.max_html_bytes)
+        df = (
+            df.withColumn("_ext", extract(F.col("html")))
+            .withColumn(text_col, F.col("_ext.text"))
+            .withColumn("_extract_error", F.col("_ext.error"))
+            .drop("_ext")
+        )
     return _fingerprint_projection(df, cfg, text_col, compute_simhash)
 
 
@@ -52,6 +62,9 @@ def _fingerprint_projection(
 ) -> DataFrame:
     fp = make_fingerprint_udf(cfg, compute_simhash)
     cols = [c for c in ("url", "warc_ts", "lang") if c in df.columns]
+    ext_err = (
+        F.col("_extract_error") if "_extract_error" in df.columns else F.lit(None).cast("string")
+    )
     return (
         df.select(
             *cols,
@@ -59,6 +72,7 @@ def _fingerprint_projection(
             F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("nbytes"),
             F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("sha256"),
             fp(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
+            ext_err.alias("_extract_error"),
         )
         .select(
             *cols,
@@ -69,6 +83,8 @@ def _fingerprint_projection(
             F.col("_fp.simhash").alias("simhash"),
             F.col("_fp.bands").alias("bands"),
             F.col("_fp.n_tokens").alias("n_tokens"),
+            # extraction failure wins (it happened first); else kernel failure
+            F.coalesce(F.col("_extract_error"), F.col("_fp.error")).alias("error"),
         )
     )
 
@@ -91,6 +107,8 @@ def incremental_fingerprint(
     """
     if old_docs_fp is None:
         return fingerprint_docs(pages, cfg)
+    if "error" not in old_docs_fp.columns:  # pre-error-column tables stay readable
+        old_docs_fp = old_docs_fp.withColumn("error", F.lit(None).cast("string"))
     keys = list(key_cols)
     reused = old_docs_fp.join(
         pages.select(*keys).distinct(), keys, "left_semi"

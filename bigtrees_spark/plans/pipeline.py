@@ -55,7 +55,15 @@ def near_dedup_pipeline(
     if persist:
         docs_fp = docs_fp.persist()
 
-    reps = dedup.canonical_docs(docs_fp)
+    # Err-node semantics (HashTree/Build.hs:109-118): error rows stay in
+    # docs_fp (they ARE the error report) but never enter pairing — their
+    # sentinel fingerprints/empty-text sha would otherwise cross-link all
+    # failed docs into one bogus cluster.  They resurface below as
+    # singleton clusters.
+    clean_fp = docs_fp.where(F.col("error").isNull())
+    err_fp = docs_fp.where(F.col("error").isNotNull())
+
+    reps = dedup.canonical_docs(clean_fp)
     if persist:
         reps = reps.persist()
 
@@ -77,13 +85,13 @@ def near_dedup_pipeline(
     rep_labels = reps.select("url", "sha256").join(labels, "url", "left").select(
         F.col("sha256"), F.coalesce(F.col("cluster_id"), F.col("url")).alias("rep_cluster")
     )
-    member_labels = docs_fp.select("url", "sha256").join(rep_labels, "sha256").select(
+    member_labels = clean_fp.select("url", "sha256").join(rep_labels, "sha256").select(
         "url", "rep_cluster"
     )
     w = Window.partitionBy("rep_cluster")
     clusters = member_labels.select(
         "url", F.min("url").over(w).alias("cluster_id")
-    )
+    ).unionByName(err_fp.select("url", F.col("url").alias("cluster_id")))
 
     report = (
         clusters.join(docs_fp.select("url", "nbytes"), "url")

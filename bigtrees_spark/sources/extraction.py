@@ -23,7 +23,7 @@ import re
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 _MAIN_RE = re.compile(rb"<main[^>]*>(.*?)</main>", re.S | re.I)
 _BODY_RE = re.compile(rb"<body[^>]*>(.*?)</body>", re.S | re.I)
@@ -50,3 +50,54 @@ def extract_text(html_bytes: bytes | None) -> str:
 def extract_text_udf(html_col: pd.Series) -> pd.Series:
     """Arrow-batched wrapper; one call per batch, same pure function."""
     return html_col.map(extract_text)
+
+
+# ---------------------------------------------------------------------------
+# Err-node semantics: per-row failures become error rows, never task failures.
+# Reference: every per-node exception is wrapped into an Err node and the scan
+# continues (/root/reference/lib/System/Directory/BigTrees/HashTree/Build.hs:
+# 109-118 mkErrTree/handleAny; row form HashLine.hs:189-192).
+# ---------------------------------------------------------------------------
+
+
+def sanitize_err(exc: BaseException | str) -> str:
+    """One-line, bounded error message (the reference flattens Err messages to
+    a single sanitized line before writing them as rows, HashLine.hs:189-192)."""
+    msg = exc if isinstance(exc, str) else f"{type(exc).__name__}: {exc}"
+    return " ".join(msg.split())[:200]
+
+
+def extract_text_checked(
+    html_bytes: bytes | None, max_bytes: int
+) -> tuple[str, str | None]:
+    """(text, error): error is None on success; on oversized input or any
+    extraction exception, text is '' and error carries the sanitized message."""
+    try:
+        if html_bytes is not None and len(html_bytes) > max_bytes:
+            return "", sanitize_err(f"HtmlTooLarge: {len(html_bytes)} > {max_bytes} bytes")
+        return extract_text(html_bytes), None
+    except Exception as e:  # noqa: BLE001 — any per-row failure becomes a row
+        return "", sanitize_err(e)
+
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("text", StringType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def make_extract_checked_udf(max_bytes: int):
+    """Arrow-batched html -> struct<text, error>; never raises per row."""
+
+    @F.pandas_udf(EXTRACT_SCHEMA)
+    def extract_checked(html_col: pd.Series) -> pd.DataFrame:
+        texts, errs = [], []
+        for b in html_col:
+            t, e = extract_text_checked(b, max_bytes)
+            texts.append(t)
+            errs.append(e)
+        return pd.DataFrame({"text": texts, "error": errs})
+
+    return extract_checked

@@ -1,0 +1,144 @@
+"""Err-node semantics: per-doc failures become error ROWS, never dead jobs.
+
+Reference behavior under test: every per-node exception is wrapped into an
+Err node and the scan continues (/root/reference/lib/System/Directory/
+BigTrees/HashTree/Build.hs:109-118 mkErrTree/handleAny; round-trip test at
+HashTree.hs:198-232 — a bad path yields an Err node, not an abort).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+
+import numpy as np
+import pytest
+
+from bigtrees_spark.config import DEFAULT_CONFIG
+from bigtrees_spark.functions.spark_udfs import fingerprint_row
+from bigtrees_spark.operators.fingerprint import fingerprint_docs
+from bigtrees_spark.plans.pipeline import near_dedup_pipeline
+from bigtrees_spark.sources.extraction import (
+    extract_text,
+    extract_text_checked,
+    sanitize_err,
+)
+
+CFG_SMALL = dataclasses.replace(DEFAULT_CONFIG, max_html_bytes=100_000)
+
+
+# ---------------------------------------------------------------------------
+# pure-function layer
+# ---------------------------------------------------------------------------
+
+
+def test_extract_checked_ok_matches_unchecked():
+    html = b"<html><body>hello <b>world</b></body></html>"
+    text, err = extract_text_checked(html, 1 << 20)
+    assert err is None
+    assert text == extract_text(html)
+
+
+def test_extract_checked_oversize_is_error_row():
+    big = b"<body>" + b"x" * 200_000 + b"</body>"
+    text, err = extract_text_checked(big, 100_000)
+    assert text == ""
+    assert err is not None and "HtmlTooLarge" in err
+
+
+def test_extract_checked_catches_exceptions():
+    # a str instead of bytes makes the byte-regex raise TypeError — any
+    # unexpected per-row exception must become an error value, not a raise
+    text, err = extract_text_checked("not-bytes", 1 << 20)  # type: ignore[arg-type]
+    assert text == ""
+    assert err is not None and "TypeError" in err
+
+
+def test_sanitize_err_single_bounded_line():
+    msg = sanitize_err(ValueError("a\nb\t" + "c" * 500))
+    assert "\n" not in msg and "\t" not in msg
+    assert len(msg) <= 200
+
+
+class _Boom:
+    """Text stand-in whose .lower() raises — drives the kernel except path."""
+
+    def lower(self):
+        raise RuntimeError("boom")
+
+    def __bool__(self):
+        return True
+
+
+def test_fingerprint_row_kernel_failure_yields_sentinel():
+    a, b = DEFAULT_CONFIG.minhash_coeffs()
+    sig, sh, bands, nt, err = fingerprint_row(_Boom(), DEFAULT_CONFIG, True, a, b)
+    assert err is not None and "RuntimeError: boom" in err
+    assert nt == 0 and sh == 0
+    # sentinel == the empty-doc fingerprint (schema stays non-null)
+    empty_sig, _, empty_bands, _, empty_err = fingerprint_row(
+        "", DEFAULT_CONFIG, True, a, b
+    )
+    assert empty_err is None
+    assert sig == empty_sig and bands == empty_bands
+
+
+# ---------------------------------------------------------------------------
+# Spark layer: poisoned corpus completes; clean clusters unchanged
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def poisoned_pages(spark, pages):
+    ts = datetime.datetime(2025, 1, 1)
+    poison = spark.createDataFrame(
+        [("poison/huge", ts, b"<body>" + b"z" * 150_000 + b"</body>", None, "en")],
+        schema=pages.schema,
+    )
+    return pages.unionByName(poison)
+
+
+def test_poisoned_corpus_completes_with_one_error_row(spark, pages, poisoned_pages):
+    res = near_dedup_pipeline(
+        poisoned_pages, cfg=CFG_SMALL, extract_from_html=True, persist=False
+    )
+    errs = res.docs_fp.where("error IS NOT NULL").collect()
+    assert len(errs) == 1
+    assert errs[0].url == "poison/huge"
+    assert "HtmlTooLarge" in errs[0].error
+    # the error row surfaces as its own singleton cluster
+    poison_cluster = {
+        r.cluster_id for r in res.clusters.where("url = 'poison/huge'").collect()
+    }
+    assert poison_cluster == {"poison/huge"}
+
+
+def test_clean_clusters_unchanged_by_poison_row(spark, pages, poisoned_pages):
+    base = near_dedup_pipeline(
+        pages, cfg=CFG_SMALL, extract_from_html=True, persist=False
+    )
+    pois = near_dedup_pipeline(
+        poisoned_pages, cfg=CFG_SMALL, extract_from_html=True, persist=False
+    )
+    a = {(r.url, r.cluster_id) for r in base.clusters.collect()}
+    b = {
+        (r.url, r.cluster_id)
+        for r in pois.clusters.collect()
+        if r.url != "poison/huge"
+    }
+    assert a == b
+
+
+def test_clean_rows_have_null_error(pages):
+    fp = fingerprint_docs(pages, extract_from_html=True)
+    assert fp.where("error IS NOT NULL").count() == 0
+
+
+def test_fingerprint_row_numpy_import_safe():
+    # the except path builds the sentinel via numpy — ensure it works with
+    # an empty uint64 array exactly like the kernels' empty-text path
+    a, b = DEFAULT_CONFIG.minhash_coeffs()
+    from bigtrees_spark.functions import kernels
+
+    sig = kernels.minhash_signature(np.empty(0, dtype=np.uint64), a, b)
+    assert sig.shape == (DEFAULT_CONFIG.n_perms,)
