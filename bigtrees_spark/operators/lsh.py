@@ -25,6 +25,25 @@ from bigtrees_spark.functions.spark_udfs import make_exact_jaccard_udf
 
 NEIGHBOR_K = 3  # windowed pairing width inside over-cap buckets
 
+SIMHASH_CHUNK_CAP = 10_000  # chunk buckets above this switch to rank pairing
+
+
+def _bucket_skew_stats(sized: DataFrame, cap: int) -> dict:
+    """Bucket-size distribution of a (already checkpointed) sized/ranked
+    bucket table: rnk==1 selects one row per bucket, so this is one cheap agg
+    over the materialized table — 'skew: measured, not assumed' (SURVEY §7)."""
+    row = (
+        sized.where(F.col("rnk") == 1)
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum((F.col("bsz") > cap).cast("long")).alias("n_overcap"),
+            F.max("bsz").alias("max_bucket"),
+            F.percentile_approx("bsz", 0.95).alias("p95_bucket"),
+        )
+        .first()
+    )
+    return row.asDict() if row else {}
+
 
 def band_table(docs_fp: DataFrame) -> DataFrame:
     """Explode signatures into skinny (url, band_idx, band_hash) rows."""
@@ -34,7 +53,7 @@ def band_table(docs_fp: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(
-    docs_fp: DataFrame, cfg: FingerprintConfig = DEFAULT_CONFIG
+    docs_fp: DataFrame, cfg: FingerprintConfig = DEFAULT_CONFIG, ctx=None
 ) -> DataFrame:
     """Distinct (url_l, url_r) candidate pairs (url_l < url_r) from LSH buckets.
 
@@ -42,6 +61,9 @@ def candidate_pairs(
     Buckets  > max_bucket_size: rank-adjacent pairs (|rank diff| <= NEIGHBOR_K)
     — documented recall trade-off for pathological buckets, kept connected for
     the downstream connected-components stage.
+
+    ctx (optional runmeta.RunContext): records the bucket-size distribution
+    and cap-fire count into the skew-metrics table.
     """
     bands = band_table(docs_fp)
     w = Window.partitionBy("band_idx", "band_hash")
@@ -53,6 +75,10 @@ def candidate_pairs(
         .withColumn("rnk", F.row_number().over(w.orderBy("url")))
         .localCheckpoint(eager=True)
     )
+    if ctx is not None:
+        ctx.record_skew(
+            "lsh_bands", cfg.max_bucket_size, _bucket_skew_stats(sized, cfg.max_bucket_size)
+        )
 
     small = sized.where(F.col("bsz") <= cfg.max_bucket_size).drop("bsz")
     sp = (
@@ -125,13 +151,22 @@ def verify_pairs(
 
 
 def simhash_edges(
-    docs_fp: DataFrame, cfg: FingerprintConfig = DEFAULT_CONFIG
+    docs_fp: DataFrame,
+    cfg: FingerprintConfig = DEFAULT_CONFIG,
+    ctx=None,
+    chunk_cap: int = SIMHASH_CHUNK_CAP,
 ) -> DataFrame:
     """Second edge source: SimHash pairs within Hamming radius.
 
     Block on 4 x 16-bit chunks of the 64-bit fingerprint (pigeonhole: any pair
     with Hamming distance <= 3 agrees exactly on at least one chunk), groupBy
     chunk value, pair within buckets, verify Hamming via vectorized popcount.
+
+    Hot chunk values (e.g. near-zero simhashes from many short docs) are NOT
+    dropped: buckets above chunk_cap switch to rank-adjacent pairing, the same
+    connectivity-preserving fallback candidate_pairs uses — so a hot chunk
+    degrades to a chain of verified edges instead of silently losing every
+    pair.  ctx (runmeta.RunContext) records how often the cap fired.
     """
     chunks = docs_fp.select(
         "url",
@@ -152,12 +187,18 @@ def simhash_edges(
     ).select("url", "simhash", "c.chunk_idx", "c.chunk_val")
 
     w = Window.partitionBy("chunk_idx", "chunk_val")
-    sized = chunks.withColumn("bsz", F.count("*").over(w)).where(
-        F.col("bsz") <= 10_000  # drop degenerate chunks (e.g. all-zero simhash)
+    sized = (
+        chunks.withColumn("bsz", F.count("*").over(w))
+        .withColumn("rnk", F.row_number().over(w.orderBy("url")))
+        .localCheckpoint(eager=True)  # feeds both sides of both self-joins
     )
-    pairs = (
-        sized.alias("l")
-        .join(sized.alias("r"), ["chunk_idx", "chunk_val"])
+    if ctx is not None:
+        ctx.record_skew("simhash_chunks", chunk_cap, _bucket_skew_stats(sized, chunk_cap))
+
+    small = sized.where(F.col("bsz") <= chunk_cap)
+    sp = (
+        small.alias("l")
+        .join(small.alias("r"), ["chunk_idx", "chunk_val"])
         .where(F.col("l.url") < F.col("r.url"))
         .select(
             F.col("l.url").alias("url_l"),
@@ -165,8 +206,23 @@ def simhash_edges(
             F.col("l.simhash").alias("sh_l"),
             F.col("r.simhash").alias("sh_r"),
         )
-        .distinct()
     )
+    big = sized.where(F.col("bsz") > chunk_cap)
+    bp = (
+        big.alias("l")
+        .join(big.alias("r"), ["chunk_idx", "chunk_val"])
+        .where(
+            (F.col("r.rnk") > F.col("l.rnk"))
+            & (F.col("r.rnk") - F.col("l.rnk") <= NEIGHBOR_K)
+        )
+        .select(
+            F.col("l.url").alias("url_l"),
+            F.col("r.url").alias("url_r"),
+            F.col("l.simhash").alias("sh_l"),
+            F.col("r.simhash").alias("sh_r"),
+        )
+    )
+    pairs = sp.unionByName(bp).distinct()
     return (
         pairs.withColumn(
             "hamming",

@@ -45,6 +45,7 @@ def near_dedup_pipeline(
     use_simhash_edges: bool = False,
     extra_edges: DataFrame | None = None,
     persist: bool = True,
+    ctx=None,  # optional runmeta.RunContext: skew metrics recorded per run
 ) -> DedupResult:
     docs_fp = fingerprint_docs(
         pages,
@@ -67,11 +68,11 @@ def near_dedup_pipeline(
     if persist:
         reps = reps.persist()
 
-    pairs = lsh.candidate_pairs(reps, cfg)
+    pairs = lsh.candidate_pairs(reps, cfg, ctx=ctx)
     edges = lsh.verify_pairs(pairs, reps, cfg)
     if use_simhash_edges:
         edges = edges.select("url_l", "url_r").unionByName(
-            lsh.simhash_edges(reps, cfg).select("url_l", "url_r")
+            lsh.simhash_edges(reps, cfg, ctx=ctx).select("url_l", "url_r")
         )
     if extra_edges is not None:
         edges = edges.select("url_l", "url_r").unionByName(

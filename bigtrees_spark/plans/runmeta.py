@@ -44,6 +44,23 @@ RUN_METRICS_SCHEMA = StructType(
     ]
 )
 
+# Skew measured, not assumed (SURVEY §7; north_rule "skew handled
+# explicitly"): every capped pairing stage records its bucket-size
+# distribution and how often the cap fired, so the recall trade-off of
+# rank-adjacent fallback pairing is visible per run instead of silent.
+SKEW_METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("stage", StringType(), False),
+        StructField("cap", LongType(), False),
+        StructField("n_buckets", LongType(), True),
+        StructField("n_overcap", LongType(), True),
+        StructField("max_bucket", LongType(), True),
+        StructField("p95_bucket", LongType(), True),
+        StructField("finished", TimestampType(), True),
+    ]
+)
+
 
 @dataclass
 class RunContext:
@@ -93,6 +110,32 @@ class RunContext:
             "finished", F.lit(now).cast("timestamp")
         )
         df.write.mode("append").parquet(self.metrics_path)
+
+    @property
+    def skew_path(self) -> str:
+        return self.metrics_path + ".skew"
+
+    def record_skew(self, stage: str, cap: int, stats: dict) -> None:
+        """Append one bucket-skew row for a capped pairing stage."""
+        row = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "cap": int(cap),
+            "n_buckets": int(stats.get("n_buckets") or 0),
+            "n_overcap": int(stats.get("n_overcap") or 0),
+            "max_bucket": int(stats.get("max_bucket") or 0),
+            "p95_bucket": int(stats.get("p95_bucket") or 0),
+            "finished": None,
+        }
+        df = self.spark.createDataFrame([row], SKEW_METRICS_SCHEMA).withColumn(
+            "finished", F.lit(time.time()).cast("timestamp")
+        )
+        df.write.mode("append").parquet(self.skew_path)
+
+    def read_skew(self) -> DataFrame:
+        if os.path.exists(self.skew_path):
+            return self.spark.read.parquet(self.skew_path)
+        return self.spark.createDataFrame([], SKEW_METRICS_SCHEMA)
 
     def invalidate(self, buckets: list[int], stage: str) -> None:
         """Drop completion rows for given buckets (e.g. digest changed between
