@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -328,10 +328,10 @@ def q_substring_dups(spark, sf_dir):
     from bigtrees_spark.operators.substring import substring_edges
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    w = Window.orderBy("doc_id")
-    chained = d.withColumn("next_text", F.lead("text").over(w)).where(
-        F.col("next_text").isNotNull()
-    )
+    # self-join on doc_id+1 (the oracle's own form): stays parallel, unlike a
+    # no-partition window whose lead() funnels through a single-partition sort
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("next_text"))
+    chained = d.join(nxt, "doc_id")
     corpus = chained.select(
         _url().alias("url"), F.concat("text", F.lit(" "), "next_text").alias("text")
     )

@@ -32,6 +32,7 @@ FINGERPRINT_SCHEMA = StructType(
         StructField("simhash", LongType(), False),
         StructField("bands", ArrayType(LongType()), False),
         StructField("n_tokens", IntegerType(), False),
+        StructField("shingles", ArrayType(LongType()), False),
         StructField("error", StringType(), True),
     ]
 )
@@ -39,8 +40,12 @@ FINGERPRINT_SCHEMA = StructType(
 
 def fingerprint_row(
     text, cfg: FingerprintConfig, compute_simhash: bool, a, b
-) -> tuple[list[int], int, list[int], int, str | None]:
-    """One doc -> (minhash, simhash, bands, n_tokens, error).
+) -> tuple[list[int], int, list[int], int, list[int], str | None]:
+    """One doc -> (minhash, simhash, bands, n_tokens, shingles, error).
+
+    The shingle-hash array (sorted distinct, int64) rides along so the verify
+    stage can compute EXACT Jaccard JVM-side (array_intersect/array_union)
+    without re-shipping or re-tokenizing document texts once per pair.
 
     Any kernel exception yields the empty-token sentinel fingerprint plus the
     sanitized message — Err-node semantics (reference wraps per-node failures
@@ -54,13 +59,20 @@ def fingerprint_row(
         sig = kernels.minhash_signature(shingles, a, b)
         sh = kernels.simhash64(toks) if compute_simhash else 0
         bands = kernels.band_hashes(sig, cfg.bands, cfg.rows_per_band)
-        return sig.tolist(), sh, bands.tolist(), len(toks), None
+        return (
+            sig.tolist(),
+            sh,
+            bands.tolist(),
+            len(toks),
+            shingles.astype("int64").tolist(),  # uint32 values: exact in int64
+            None,
+        )
     except Exception as e:  # noqa: BLE001 — any per-doc failure becomes a row
         import numpy as np
 
         sig = kernels.minhash_signature(np.empty(0, dtype=np.uint64), a, b)
         bands = kernels.band_hashes(sig, cfg.bands, cfg.rows_per_band)
-        return sig.tolist(), 0, bands.tolist(), 0, sanitize_err(e)
+        return sig.tolist(), 0, bands.tolist(), 0, [], sanitize_err(e)
 
 
 def make_fingerprint_udf(
@@ -79,16 +91,24 @@ def make_fingerprint_udf(
     @F.pandas_udf(FINGERPRINT_SCHEMA)
     def fingerprint(texts: pd.Series) -> pd.DataFrame:
         a, b = cfg.minhash_coeffs()
-        mh, sh, bd, nt, er = [], [], [], [], []
+        mh, sh, bd, nt, sg, er = [], [], [], [], [], []
         for t in texts:
-            sig, s, bands, n, e = fingerprint_row(t, cfg, compute_simhash, a, b)
+            sig, s, bands, n, shingles, e = fingerprint_row(t, cfg, compute_simhash, a, b)
             mh.append(sig)
             sh.append(s)
             bd.append(bands)
             nt.append(n)
+            sg.append(shingles)
             er.append(e)
         return pd.DataFrame(
-            {"minhash": mh, "simhash": sh, "bands": bd, "n_tokens": nt, "error": er}
+            {
+                "minhash": mh,
+                "simhash": sh,
+                "bands": bd,
+                "n_tokens": nt,
+                "shingles": sg,
+                "error": er,
+            }
         )
 
     return fingerprint

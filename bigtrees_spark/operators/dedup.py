@@ -55,12 +55,25 @@ def canonical_docs(docs_fp: DataFrame, key: str = "sha256") -> DataFrame:
     LSH pair join).  Window + row_number — one shuffle on the digest.
     """
     order = [c for c in ("warc_ts", "url") if c in docs_fp.columns]
+    if not order:
+        w = Window.partitionBy(key).orderBy(key)
+        return (
+            docs_fp.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    # rank on a SKINNY projection, then semi-join the wide rows back: the
+    # window's shuffle+sort buffers only (key, order) columns instead of
+    # text+minhash+bands+shingles payloads (urls are unique, so the
+    # equi-join on key+order recovers exactly the rank-1 rows)
     w = Window.partitionBy(key).orderBy(*[F.asc(c) for c in order])
-    return (
-        docs_fp.withColumn("_rn", F.row_number().over(w))
+    winners = (
+        docs_fp.select(key, *order)
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    return docs_fp.join(winners, [key, *order], "left_semi")
 
 
 def prefix_dupe_groups(docs_fp: DataFrame, prefix_expr=None) -> DataFrame:

@@ -8,7 +8,7 @@ scan -> ArrowEvalPython -> project, so it scales linearly with input splits.
 docs_fp schema:
     url string, warc_ts timestamp, lang string, nbytes long, n_tokens int,
     sha256 string, minhash array<long>, simhash long, bands array<long>,
-    error string (nullable)
+    shingles array<long>, error string (nullable)
 
 sha256 is computed JVM-side (F.sha2 inside whole-stage codegen); only the
 MinHash/SimHash/band work crosses into Python, in one vectorized pass.
@@ -83,6 +83,7 @@ def _fingerprint_projection(
             F.col("_fp.simhash").alias("simhash"),
             F.col("_fp.bands").alias("bands"),
             F.col("_fp.n_tokens").alias("n_tokens"),
+            F.col("_fp.shingles").alias("shingles"),
             # extraction failure wins (it happened first); else kernel failure
             F.coalesce(F.col("_extract_error"), F.col("_fp.error")).alias("error"),
         )
@@ -105,7 +106,9 @@ def incremental_fingerprint(
     identity key.  At scale both joins shuffle only the skinny key columns of
     the NEW snapshot; the old fingerprint table streams through untouched.
     """
-    if old_docs_fp is None:
+    if old_docs_fp is None or "shingles" not in old_docs_fp.columns:
+        # tables written before the shingles column can't feed the JVM-side
+        # verify stage — recompute rather than silently reuse partial rows
         return fingerprint_docs(pages, cfg)
     if "error" not in old_docs_fp.columns:  # pre-error-column tables stay readable
         old_docs_fp = old_docs_fp.withColumn("error", F.lit(None).cast("string"))

@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
-from bigtrees_spark.functions.spark_udfs import make_exact_jaccard_udf
 
 NEIGHBOR_K = 3  # windowed pairing width inside over-cap buckets
 
@@ -112,9 +111,13 @@ def verify_pairs(
 
     Two-stage: (1) cheap signature-estimate prefilter (join skinny sigs, drop
     pairs whose estimated Jaccard is hopeless), (2) exact shingle-set Jaccard
-    on the surviving pairs' texts (Arrow-batched).  Final predicate == the
-    oracle's definition, so pipeline precision is 1.0 and recall is the LSH
-    candidate recall (config.py S-curve: >=0.996 at threshold).
+    via the precomputed sorted-distinct shingle arrays — pure Catalyst
+    (array_intersect/array_union inside whole-stage codegen), so the verify
+    stage ships fingerprint arrays instead of document TEXTS (5-20x less
+    shuffle at web scale) and never re-tokenizes a doc once per pair.
+    Final predicate == the oracle's definition, so pipeline precision is 1.0
+    and recall is the LSH candidate recall (config.py S-curve: >=0.996 at
+    threshold).
 
     Returns edges: url_l, url_r, jaccard (>= cfg.jaccard_threshold).
     """
@@ -132,19 +135,27 @@ def verify_pairs(
         .withColumn("est_j", est(F.col("sig_l"), F.col("sig_r")))
         .where(F.col("est_j") >= F.lit(max(0.0, cfg.jaccard_threshold - sig_prefilter_margin)))
         .select("url_l", "url_r")
-        # materialize the surviving (skinny) pair set: fusing both Arrow UDF
-        # stages into one adaptive query measurably re-plans/re-executes the
-        # prefilter joins (observed 18s vs 1s at sf0.1); the checkpoint also
-        # truncates lineage before the wide text join
+        # materialize the surviving (skinny) pair set: the prefilter joins
+        # otherwise re-plan/re-execute under AQE when fused with the exact
+        # stage (observed 18s vs 1s at sf0.1); the checkpoint also truncates
+        # lineage before the shingle join
         .localCheckpoint(eager=True)
     )
 
-    texts = docs_fp.select("url", "text")
-    exact = make_exact_jaccard_udf(cfg)
+    sh = docs_fp.select("url", "shingles")
+    inter = F.size(F.array_intersect(F.col("sh_l"), F.col("sh_r")))
+    union = F.size(F.array_union(F.col("sh_l"), F.col("sh_r")))
     return (
-        pre.join(texts.withColumnsRenamed({"url": "url_l", "text": "text_l"}), "url_l")
-        .join(texts.withColumnsRenamed({"url": "url_r", "text": "text_r"}), "url_r")
-        .withColumn("jaccard", exact("text_l", "text_r"))
+        pre.join(sh.withColumnsRenamed({"url": "url_l", "shingles": "sh_l"}), "url_l")
+        .join(sh.withColumnsRenamed({"url": "url_r", "shingles": "sh_r"}), "url_r")
+        .withColumn(
+            "jaccard",
+            # two empty shingle sets are identical docs (jaccard 1.0), same
+            # convention as the Arrow kernel and the brute-force oracle
+            F.when(union == 0, F.lit(1.0)).otherwise(
+                inter.cast("double") / union.cast("double")
+            ),
+        )
         .where(F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
         .select("url_l", "url_r", "jaccard")
     )

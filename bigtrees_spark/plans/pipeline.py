@@ -7,7 +7,8 @@ entry points 1-2), generalized to near-dups:
       -> fingerprint_docs        (scan -> ArrowEvalPython -> project; no shuffle)
       -> canonical_docs          (collapse exact dups; 1 shuffle on sha256)
       -> candidate_pairs         (skinny band explode; skew-capped bucket join)
-      -> verify_pairs            (sig prefilter -> exact Jaccard, Arrow-batched)
+      -> verify_pairs            (sig prefilter -> exact Jaccard on shingle
+                                  arrays, pure codegen — no text shuffle)
       [-> simhash_edges]         (optional second edge source)
       [-> substring edges]       (winnowing pass, operators/substring.py)
       -> connected_components    (large-star/small-star, checkpointed)

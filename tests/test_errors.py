@@ -72,11 +72,11 @@ class _Boom:
 
 def test_fingerprint_row_kernel_failure_yields_sentinel():
     a, b = DEFAULT_CONFIG.minhash_coeffs()
-    sig, sh, bands, nt, err = fingerprint_row(_Boom(), DEFAULT_CONFIG, True, a, b)
+    sig, sh, bands, nt, shingles, err = fingerprint_row(_Boom(), DEFAULT_CONFIG, True, a, b)
     assert err is not None and "RuntimeError: boom" in err
-    assert nt == 0 and sh == 0
+    assert nt == 0 and sh == 0 and shingles == []
     # sentinel == the empty-doc fingerprint (schema stays non-null)
-    empty_sig, _, empty_bands, _, empty_err = fingerprint_row(
+    empty_sig, _, empty_bands, _, _, empty_err = fingerprint_row(
         "", DEFAULT_CONFIG, True, a, b
     )
     assert empty_err is None
