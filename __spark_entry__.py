@@ -362,6 +362,37 @@ def q_minhash_lsh_clusters(spark, sf_dir):
     return res.clusters
 
 
+def q_minhash_twin_verdicts(spark, sf_dir):
+    """Closed-form oracle for the full MinHash/LSH/CC pipeline: each doc gets
+    a twin with ONE appended junk token, so the twin's shingle set is the
+    doc's plus exactly one new shingle — exact Jaccard s/(s+1) >= 0.5 iff the
+    doc has any k-shingle at all, i.e. iff it has >= shingle_k (5) tokens.
+    Docs under 5 tokens hash their whole token sequence as one shingle, which
+    the twin's differs from entirely (Jaccard 0).  Cluster co-membership of
+    (doc, twin) is therefore SQL-decidable; planted near-dups in the driver
+    tables only MERGE clusters and cannot split a co-membership."""
+    from bigtrees_spark.plans.pipeline import near_dedup_pipeline
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.select(_url().alias("url"), "text")
+    twin = d.select(
+        F.format_string("t%08d", F.col("doc_id")).alias("url"),
+        F.concat("text", F.lit(" zzqz")).alias("text"),
+    )
+    res = near_dedup_pipeline(base.unionByName(twin), persist=False)
+    c = res.clusters
+    cb = c.where(F.col("url").startswith("d")).select(
+        F.substring("url", 2, 8).alias("id"), F.col("cluster_id").alias("cb")
+    )
+    ct = c.where(F.col("url").startswith("t")).select(
+        F.substring("url", 2, 8).alias("id"), F.col("cluster_id").alias("ct")
+    )
+    return cb.join(ct, "id").select(
+        F.concat(F.lit("d"), F.col("id")).alias("url"),
+        (F.col("cb") == F.col("ct")).alias("twin_joined"),
+    )
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     from bigtrees_spark.operators.fingerprint import fingerprint_docs
 
@@ -378,13 +409,29 @@ def q_winnow_counts(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing over documents' text bytes as a stand-in binary
-    payload (deterministic fake decoder; rows-only check)."""
+    payload.  The metadata columns (n_bytes, content_sha256) are pure
+    functions of the payload bytes, so this slice of the mapInPandas output
+    is fully SQL-oracle-checked; the decode-stub columns live in the
+    rows-only q_media_decode."""
     from bigtrees_spark.operators.multimodal import extract_media_features
 
     d = _docs(spark, sf_dir).select(
         _url().alias("url"), F.encode("text", "utf-8").alias("payload")
     )
-    return extract_media_features(d).select("url", "n_bytes", "content_sha256", "width", "height")
+    return extract_media_features(d).select(
+        "url", F.col("n_bytes").cast("long").alias("n_bytes"), "content_sha256"
+    )
+
+
+def q_media_decode(spark, sf_dir):
+    """Decode-dependent metadata (width/height from the deterministic fake
+    decoder — rows-only: blake2b-derived, not SQL-expressible)."""
+    from bigtrees_spark.operators.multimodal import extract_media_features
+
+    d = _docs(spark, sf_dir).select(
+        _url().alias("url"), F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_media_features(d).select("url", "width", "height")
 
 
 def q_lsh_ann_pairs(spark, sf_dir):
@@ -491,9 +538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "substring_dups": q_substring_dups,
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
+        "minhash_twin_verdicts": q_minhash_twin_verdicts,
         "simhash_fingerprints": q_simhash_fingerprints,
         "winnow_counts": q_winnow_counts,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "prefix_dupes": q_prefix_dupes,
         "simhash_edges": q_simhash_edges,
@@ -744,6 +793,17 @@ SELECT prefix_digest,
        ((count(*) - 1) * min(n_bytes))::BIGINT AS savings,
        min(prefix) AS first_prefix
 FROM per_prefix GROUP BY 1 HAVING count(*) > 1
+""",
+        "media_features": """
+SELECT printf('d%08d', doc_id) AS url,
+       strlen(text)::BIGINT AS n_bytes,
+       sha256(text) AS content_sha256
+FROM documents
+""",
+        "minhash_twin_verdicts": """
+SELECT printf('d%08d', doc_id) AS url,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 5 AS twin_joined
+FROM documents
 """,
         "error_rows": """
 SELECT lang,
