@@ -81,6 +81,17 @@ class FingerprintConfig:
     # Permutation coefficients are derived lazily but deterministically from
     # the seed, so every executor / the oracle / the tests regenerate the
     # identical permutation set without shipping arrays around.
+    def config_hash(self) -> str:
+        """Stable 12-hex digest of every knob — scan provenance (the
+        reference Header records its config the same way, HeadFoot.hs:66-75).
+        Two runs reuse each other's completed work only when this matches."""
+        import dataclasses
+        import hashlib
+        import json
+
+        blob = json.dumps(dataclasses.asdict(self), sort_keys=True)
+        return hashlib.sha256(blob.encode()).hexdigest()[:12]
+
     def minhash_coeffs(self) -> tuple[np.ndarray, np.ndarray]:
         rng = np.random.default_rng(self.seed)
         p = int(MERSENNE_P)

@@ -22,7 +22,6 @@ reuse is keyed on row identity, not just content multiset.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -30,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
 from bigtrees_spark.operators.digest import bucket_of
 from bigtrees_spark.operators.fingerprint import fingerprint_docs
+from bigtrees_spark.sinks import SnapshotSink
 
 
 def bucket_state_digests(pages_b: DataFrame) -> DataFrame:
@@ -64,20 +64,21 @@ def incremental_run(
     state_dir: str,
     n_buckets: int = 64,
     cfg: FingerprintConfig = DEFAULT_CONFIG,
+    sink: SnapshotSink | None = None,
 ) -> IncrementalResult:
     """Fingerprint the new snapshot, reusing stored rows for every bucket
-    whose state digest is unchanged.  Persists docs_fp + digests under
-    state_dir for the next run."""
-    fp_path = f"{state_dir}/docs_fp"
-    dg_path = f"{state_dir}/digests"
+    whose state digest is unchanged.  Persists docs_fp + digests through the
+    SnapshotSink (Iceberg snapshot commit when a catalog is configured,
+    staged parquet swap otherwise) for the next run."""
+    sink = sink or SnapshotSink(spark, state_dir)
 
     pages_b = pages.withColumn("bucket", bucket_of("url", n_buckets))
     new_digests = bucket_state_digests(pages_b).persist()
     n_total = new_digests.count()
 
-    have_state = os.path.exists(dg_path) and os.path.exists(fp_path)
+    have_state = sink.exists("digests") and sink.exists("docs_fp")
     if have_state:
-        old_digests = spark.read.parquet(dg_path)
+        old_digests = sink.read("digests")
         j = new_digests.alias("n").join(
             old_digests.alias("o"), "bucket", "left_outer"
         )
@@ -91,7 +92,7 @@ def incremental_run(
         n_changed = changed.count()
 
         unchanged = new_digests.join(changed, "bucket", "left_anti").select("bucket")
-        old_fp = spark.read.parquet(fp_path)
+        old_fp = sink.read("docs_fp")
         kept = old_fp.join(F.broadcast(unchanged), "bucket", "left_semi")
         fresh = fingerprint_docs(
             pages_b.join(changed, "bucket", "left_semi"), cfg
@@ -103,17 +104,11 @@ def incremental_run(
             "bucket", bucket_of("url", n_buckets)
         )
 
-    # stage beside, then directory-swap (the local-fs stand-in for an Iceberg
-    # snapshot commit; kept rows are READ from fp_path so an in-place
-    # overwrite would corrupt)
-    import shutil
-
-    docs_fp.write.mode("overwrite").partitionBy("bucket").parquet(fp_path + ".next")
-    new_digests.write.mode("overwrite").parquet(dg_path + ".next")
-    for p in (fp_path, dg_path):
-        if os.path.exists(p):
-            shutil.rmtree(p)
-        os.rename(p + ".next", p)
-    out = spark.read.parquet(fp_path)
+    # snapshot commit through the sink: kept rows are READ from the previous
+    # snapshot, so the write must stage-then-publish (Iceberg does this via
+    # its metadata pointer; the parquet fallback via directory rename)
+    sink.commit_snapshot(docs_fp, "docs_fp", partition_by=["bucket"])
+    sink.commit_snapshot(new_digests, "digests")
+    out = sink.read("docs_fp")
     new_digests.unpersist()
     return IncrementalResult(out, int(n_changed), int(n_total))

@@ -1,0 +1,46 @@
+"""SnapshotSink: atomic snapshot commits — Iceberg when a catalog is
+configured, staged parquet directory swap otherwise (this container ships no
+Iceberg jars, so the fallback path is what's executable here; the Iceberg
+branch is pure writeTo/createOrReplace per the public Iceberg-Spark docs)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bigtrees_spark.sinks import SnapshotSink, detect_iceberg_catalog
+
+
+def test_no_iceberg_catalog_in_this_env(spark):
+    assert detect_iceberg_catalog(spark) is None
+
+
+def test_parquet_commit_and_read_roundtrip(spark, tmp_path):
+    sink = SnapshotSink(spark, str(tmp_path))
+    assert sink.mode == "parquet"
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 4).alias("bucket"))
+    assert not sink.exists("t")
+    sink.commit_snapshot(df, "t", partition_by=["bucket"])
+    assert sink.exists("t")
+    assert sink.read("t").count() == 100
+
+    # replace: readers never see a half-written snapshot
+    df2 = spark.range(7).select(F.col("id"), (F.col("id") % 4).alias("bucket"))
+    sink.commit_snapshot(df2, "t", partition_by=["bucket"])
+    assert sink.read("t").count() == 7
+
+
+def test_interrupted_commit_is_recoverable(spark, tmp_path):
+    """A crash that left a complete .next staging dir must be repairable by
+    simply re-running the commit (idempotence of the publish step)."""
+    sink = SnapshotSink(spark, str(tmp_path))
+    df = spark.range(10)
+    sink.commit_snapshot(df, "t")
+    # simulate: a new commit staged fully but died before the swap
+    df2 = spark.range(20)
+    df2.write.mode("overwrite").parquet(str(tmp_path / "t.next"))
+    assert sink.read("t").count() == 10  # old snapshot still intact
+    sink.commit_snapshot(df2, "t")  # re-run publishes cleanly
+    assert sink.read("t").count() == 20
+    assert not os.path.exists(str(tmp_path / "t.next"))
