@@ -492,6 +492,31 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(e.where(F.col("vec_id") < 10), e, k=3, dim=64, n_centroids=16, n_probe=4)
 
 
+def q_url_scope(spark, sf_dir):
+    """URL canonicalization + scope filter (pathIsInTree analog,
+    Build.hs:128-140).  Odd doc_ids get a MESSY url variant (uppercase
+    scheme/host, www, :80, trailing slash, unsorted query); canonicalization
+    must collapse both variants to the same form, and the scope filter keeps
+    exactly host site1 / path /sec2 — all closed-form in SQL."""
+    from bigtrees_spark.operators.urls import canonicalize_urls, scope_filter
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    clean = F.format_string(
+        "http://site%d.com/sec%d/d%08d?a=%d&b=%d",
+        F.col("doc_id") % 7, F.col("doc_id") % 5, F.col("doc_id"),
+        F.col("doc_id") % 3, F.col("doc_id") % 4,
+    )
+    messy = F.format_string(
+        "HTTP://WWW.Site%d.COM:80/sec%d/d%08d/?b=%d&a=%d",
+        F.col("doc_id") % 7, F.col("doc_id") % 5, F.col("doc_id"),
+        F.col("doc_id") % 4, F.col("doc_id") % 3,
+    )
+    urls = d.select(
+        F.when(F.col("doc_id") % 2 == 0, clean).otherwise(messy).alias("url")
+    )
+    return scope_filter(canonicalize_urls(urls), "http://site1.com/sec2")
+
+
 def q_error_rows(spark, sf_dir):
     """Err-node semantics (reference HashTree/Build.hs:109-118: per-node
     failures become Err rows, never aborted scans).  Oversized html trips the
@@ -548,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_edges": q_simhash_edges,
         "ivf_topk": q_ivf_topk,
         "error_rows": q_error_rows,
+        "url_scope": q_url_scope,
     }
 
 
@@ -804,6 +830,12 @@ FROM documents
 SELECT printf('d%08d', doc_id) AS url,
        len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 5 AS twin_joined
 FROM documents
+""",
+        "url_scope": """
+SELECT printf('http://site%d.com/sec%d/d%08d?a=%d&b=%d',
+              doc_id % 7, doc_id % 5, doc_id, doc_id % 3, doc_id % 4) AS url
+FROM documents
+WHERE doc_id % 7 = 1 AND doc_id % 5 = 2
 """,
         "error_rows": """
 SELECT lang,

@@ -33,6 +33,7 @@ class SearchConfig:
     min_ts: str | None = None           # ISO timestamp lower bound
     max_ts: str | None = None
     langs: list[str] | None = None      # tree-type filter analog
+    scope_url: str | None = None        # pathIsInTree analog (Build.hs:128-140)
     exclude_url_regexes: list[str] = field(default_factory=list)
     labeled_searches: list[tuple[str, list[str]]] = field(default_factory=list)
     # out-fmt analog: ordered projection of metadata columns
@@ -78,6 +79,10 @@ def find(
 ) -> DataFrame:
     """Filtered/labeled/projected listing over the fingerprint table."""
     df = docs_fp.where(_bounds_predicate(cfg))
+    if cfg.scope_url:
+        from bigtrees_spark.operators.urls import url_in_scope
+
+        df = df.where(url_in_scope("url", cfg.scope_url))
     for rex in cfg.exclude_url_regexes:
         df = df.where(~F.col("url").rlike(rex))
     if exclude_sets:

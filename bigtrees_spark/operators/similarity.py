@@ -130,24 +130,100 @@ def lsh_neardup_pairs(
     )
 
 
-def make_centroid_udf(dim: int, n_centroids: int = 64, n_probe: int = 2, seed: int = 7):
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    sample_size: int = 20_000,
+    n_iter: int = 8,
+) -> np.ndarray:
+    """Spherical k-means on a driver-side sample: the standard IVF coarse
+    quantizer training (Lloyd iterations, cosine assignment, re-normalized
+    mean update; empty clusters re-seeded from the sample).
+
+    A sample fit is the canonical IVF recipe (FAISS trains on a subset too):
+    at 10^12 vectors the quantizer sees a few 10^4 rows once, then ships to
+    executors inside the UDF closure (n_centroids x dim floats — KBs to MBs).
+    """
+    n = corpus.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    sample = (
+        corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_size)
+    ).toPandas()
+    rng = np.random.default_rng(seed)
+    if len(sample) == 0:
+        C = rng.standard_normal((n_centroids, dim)).astype(np.float32)
+        return C / np.linalg.norm(C, axis=1, keepdims=True)
+    X = np.stack([np.asarray(v, dtype=np.float32) for v in sample[vec_col]])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+
+    # k-means++ init (Arthur & Vassilvitskii '07), cosine distance = 1 - sim:
+    # spread seeds proportionally to distance from the chosen set — materially
+    # better coarse cells than uniform seeding at small n_centroids
+    k_eff = min(n_centroids, len(X))
+    first = int(rng.integers(len(X)))
+    chosen = [first]
+    d2 = np.maximum(1.0 - X @ X[first], 0.0) ** 2
+    for _ in range(1, k_eff):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(X), 1.0 / len(X))
+        nxt = int(rng.choice(len(X), p=probs))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, np.maximum(1.0 - X @ X[nxt], 0.0) ** 2)
+    C = X[chosen]
+    if len(C) < n_centroids:  # tiny corpora: pad with random directions
+        pad = rng.standard_normal((n_centroids - len(C), dim)).astype(np.float32)
+        C = np.vstack([C, pad / np.linalg.norm(pad, axis=1, keepdims=True)])
+
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine: both sides unit-norm
+        newC = np.zeros_like(C)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members) == 0:
+                newC[j] = X[rng.integers(len(X))]  # re-seed empty cluster
+            else:
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                newC[j] = m / nm if nm > 0 else C[j]
+        if np.allclose(newC, C, atol=1e-6):
+            C = newC
+            break
+        C = newC
+    return C.astype(np.float32)
+
+
+def make_centroid_udf(
+    dim: int,
+    n_centroids: int = 64,
+    n_probe: int = 2,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+):
     """pandas UDF: embedding -> its n_probe nearest coarse-centroid ids.
 
-    IVF-style coarse quantization with DETERMINISTIC random centroids
-    (regenerated from the seed on every executor — nothing broadcast, nothing
-    trained).  Random centroids partition the space like a coarse LSH; proper
-    k-means training is a drop-in replacement that only changes recall, not
-    the plumbing."""
+    With `centroids` (from fit_ivf_centroids) the trained quantizer ships to
+    executors in the UDF closure.  Without, DETERMINISTIC random centroids
+    are regenerated from the seed on every executor — the untrained fallback
+    partitions the space like a coarse LSH (lower recall, zero fit cost)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, IntegerType
 
+    trained = None if centroids is None else np.ascontiguousarray(centroids, dtype=np.float32)
+
     @F.pandas_udf(ArrayType(IntegerType()))
-    def centroids(vecs: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(seed)
-        C = rng.standard_normal((n_centroids, dim)).astype(np.float32)
-        C /= np.linalg.norm(C, axis=1, keepdims=True)
+    def centroid_ids(vecs: pd.Series) -> pd.Series:
+        if trained is not None:
+            C = trained
+        else:
+            rng = np.random.default_rng(seed)
+            C = rng.standard_normal((n_centroids, dim)).astype(np.float32)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
         mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -155,7 +231,7 @@ def make_centroid_udf(dim: int, n_centroids: int = 64, n_probe: int = 2, seed: i
         top = np.argsort(-sims, axis=1)[:, :n_probe]    # n_probe nearest lists
         return pd.Series([row.astype("int32").tolist() for row in top])
 
-    return centroids
+    return centroid_ids
 
 
 def ivf_topk(
@@ -168,6 +244,8 @@ def ivf_topk(
     n_centroids: int = 64,
     n_probe: int = 2,
     seed: int = 7,
+    train: bool = True,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k: IVF bucket join + exact cosine re-rank.
 
@@ -176,8 +254,16 @@ def ivf_topk(
     join touches ~n_probe/n_centroids of the corpus instead of all of it.
     Exact re-rank inside the probed lists keeps ranking exact conditional on
     the probe — the standard IVF recall trade-off, tuned by n_probe.
+
+    Centroids are k-means-trained on a corpus sample by default
+    (fit_ivf_centroids); pass centroids= to reuse a fitted quantizer across
+    runs, or train=False for the untrained random-projection fallback.
     """
-    assign = make_centroid_udf(dim, n_centroids, n_probe, seed)
+    if centroids is None and train:
+        centroids = fit_ivf_centroids(
+            corpus, dim, n_centroids, vec_col=vec_col, seed=seed
+        )
+    assign = make_centroid_udf(dim, n_centroids, n_probe, seed, centroids=centroids)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     c = c.withColumn("list_id", F.element_at(assign(F.col("cv")), 1))  # nearest only
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))

@@ -67,12 +67,7 @@ def test_lsh_neardup_finds_planted(vec_df):
     assert found >= 9  # LSH recall on eps-perturbed pairs
 
 
-def test_ivf_topk_high_recall_vs_brute_force(spark, vec_df):
-    from bigtrees_spark.operators.similarity import ivf_topk
-
-    q = vec_df.where("vec_id < 5")
-    exact = brute_force_topk(q, vec_df, k=3).collect()
-    approx = ivf_topk(q, vec_df, k=3, dim=DIM, n_centroids=8, n_probe=4).collect()
+def _ivf_recall(exact, approx) -> float:
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -81,7 +76,41 @@ def test_ivf_topk_high_recall_vs_brute_force(spark, vec_df):
         approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(len(exact_sets[q_] & approx_sets.get(q_, set())) for q_ in exact_sets)
     total = sum(len(s) for s in exact_sets.values())
-    assert hits / total >= 0.6  # IVF recall with n_probe=4 of 8 lists
+    return hits / total
+
+
+def test_ivf_topk_high_recall_vs_brute_force(spark, vec_df):
+    from bigtrees_spark.operators.similarity import ivf_topk
+
+    q = vec_df.where("vec_id < 5")
+    exact = brute_force_topk(q, vec_df, k=3).collect()
+    # k-means-trained quantizer (default): tight recall gate at n_probe=4/8
+    approx = ivf_topk(q, vec_df, k=3, dim=DIM, n_centroids=8, n_probe=4).collect()
+    assert _ivf_recall(exact, approx) >= 0.95
+
+
+def test_ivf_trained_beats_untrained(spark, vec_df):
+    from bigtrees_spark.operators.similarity import ivf_topk
+
+    q = vec_df.where("vec_id < 5")
+    exact = brute_force_topk(q, vec_df, k=3).collect()
+    trained = ivf_topk(q, vec_df, k=3, dim=DIM, n_centroids=8, n_probe=4).collect()
+    untrained = ivf_topk(
+        q, vec_df, k=3, dim=DIM, n_centroids=8, n_probe=4, train=False
+    ).collect()
+    assert _ivf_recall(exact, trained) >= _ivf_recall(exact, untrained)
+
+
+def test_fit_centroids_are_unit_norm_and_deterministic(spark, vec_df):
+    import numpy as np
+
+    from bigtrees_spark.operators.similarity import fit_ivf_centroids
+
+    c1 = fit_ivf_centroids(vec_df, DIM, n_centroids=8, seed=7)
+    c2 = fit_ivf_centroids(vec_df, DIM, n_centroids=8, seed=7)
+    assert c1.shape == (8, DIM)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
+    assert np.array_equal(c1, c2)
 
 
 def test_ivf_planted_neardups_found(spark, vec_df):
