@@ -29,15 +29,35 @@ from bigtrees_spark.functions.spark_udfs import make_fingerprint_udf
 from bigtrees_spark.sources.extraction import make_extract_checked_udf
 
 
+# git-annex-style content-addressed url: the content digest is parsed from
+# the url instead of recomputed (reference Hash.hs:152-166, used at
+# Build.hs:229-233 — `^SHA256E-[a-z0-9]{2,}--[0-9a-f]{64}(\..*)?$` filenames).
+ANNEX_DIGEST_PATTERN = r"SHA256E-[a-z0-9]{2,}--([0-9a-f]{64})"
+
+
+def url_digest_hint(url_col, pattern: str = ANNEX_DIGEST_PATTERN):
+    """Nullable content digest embedded in a url (CAS-addressed payloads)."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    h = F.regexp_extract(col, pattern, 1)
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
 def fingerprint_docs(
     pages: DataFrame,
     cfg: FingerprintConfig = DEFAULT_CONFIG,
     text_col: str = "text",
     extract_from_html: bool = False,
     compute_simhash: bool = True,
+    url_digest_pattern: str | None = None,
 ) -> DataFrame:
     """web_pages -> docs_fp.  If extract_from_html, re-derive text from the raw
-    html bytes with the pinned extractor (byte-identity tested vs oracle)."""
+    html bytes with the pinned extractor (byte-identity tested vs oracle).
+
+    url_digest_pattern: annex-style precomputed-digest reuse — urls matching
+    the pattern contribute their embedded sha256 instead of a recomputed one,
+    so content-addressed payloads (e.g. media blobs with no text) join exact-
+    dup groups without their bytes ever being read (Hash.hs:152-166 analog).
+    """
     df = pages
     # small inputs arrive as 1-2 parquet splits: the Arrow UDF stage would run
     # on that many tasks regardless of cores.  Repartition up ONLY when the
@@ -54,23 +74,33 @@ def fingerprint_docs(
             .withColumn("_extract_error", F.col("_ext.error"))
             .drop("_ext")
         )
-    return _fingerprint_projection(df, cfg, text_col, compute_simhash)
+    return _fingerprint_projection(df, cfg, text_col, compute_simhash, url_digest_pattern)
 
 
 def _fingerprint_projection(
-    df: DataFrame, cfg: FingerprintConfig, text_col: str, compute_simhash: bool = True
+    df: DataFrame,
+    cfg: FingerprintConfig,
+    text_col: str,
+    compute_simhash: bool = True,
+    url_digest_pattern: str | None = None,
 ) -> DataFrame:
     fp = make_fingerprint_udf(cfg, compute_simhash)
     cols = [c for c in ("url", "warc_ts", "lang") if c in df.columns]
     ext_err = (
         F.col("_extract_error") if "_extract_error" in df.columns else F.lit(None).cast("string")
     )
+    computed_sha = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    sha = (
+        F.coalesce(url_digest_hint("url", url_digest_pattern), computed_sha)
+        if url_digest_pattern and "url" in df.columns
+        else computed_sha
+    )
     return (
         df.select(
             *cols,
             F.col(text_col),
             F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("nbytes"),
-            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("sha256"),
+            sha.alias("sha256"),
             fp(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
             ext_err.alias("_extract_error"),
         )

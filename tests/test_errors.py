@@ -142,3 +142,36 @@ def test_fingerprint_row_numpy_import_safe():
 
     sig = kernels.minhash_signature(np.empty(0, dtype=np.uint64), a, b)
     assert sig.shape == (DEFAULT_CONFIG.n_perms,)
+
+
+# ---------------------------------------------------------------------------
+# annex-style precomputed digest reuse (Hash.hs:152-166 / Build.hs:229-233)
+# ---------------------------------------------------------------------------
+
+
+def test_url_digest_hint_reuse(spark):
+    from bigtrees_spark.operators.fingerprint import (
+        ANNEX_DIGEST_PATTERN,
+        fingerprint_docs,
+    )
+
+    hex64 = "ab" * 32
+    rows = [
+        (f"cas/SHA256E-s9--{hex64}.bin", "ignored payload text"),
+        ("plain/doc1", "some document text"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    fp = {
+        r.url: r.sha256
+        for r in fingerprint_docs(
+            pages, url_digest_pattern=ANNEX_DIGEST_PATTERN
+        ).collect()
+    }
+    assert fp[f"cas/SHA256E-s9--{hex64}.bin"] == hex64  # parsed, not recomputed
+    import hashlib
+
+    assert fp["plain/doc1"] == hashlib.sha256(b"some document text").hexdigest()
+
+    # without the pattern: everything recomputed (default unchanged)
+    fp2 = {r.url: r.sha256 for r in fingerprint_docs(pages).collect()}
+    assert fp2[f"cas/SHA256E-s9--{hex64}.bin"] != hex64
