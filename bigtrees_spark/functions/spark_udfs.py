@@ -26,13 +26,17 @@ from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
 from bigtrees_spark.functions import kernels
 from bigtrees_spark.sources.extraction import sanitize_err
 
+# minhash slots are < 2^31-1 (mod-Mersenne universal hash) and shingle
+# hashes are 32-bit by construction — int32 arrays EXACTLY represent both
+# and halve the bytes every downstream shuffle/persist/checkpoint moves.
+# (bands stay 64-bit: their collision safety at 10^12 docs needs the width.)
 FINGERPRINT_SCHEMA = StructType(
     [
-        StructField("minhash", ArrayType(LongType()), False),
+        StructField("minhash", ArrayType(IntegerType()), False),
         StructField("simhash", LongType(), False),
         StructField("bands", ArrayType(LongType()), False),
         StructField("n_tokens", IntegerType(), False),
-        StructField("shingles", ArrayType(LongType()), False),
+        StructField("shingles", ArrayType(IntegerType()), False),
         StructField("error", StringType(), True),
     ]
 )
@@ -59,12 +63,15 @@ def fingerprint_row(
         sig = kernels.minhash_signature(shingles, a, b)
         sh = kernels.simhash64(toks) if compute_simhash else 0
         bands = kernels.band_hashes(sig, cfg.bands, cfg.rows_per_band)
+        import numpy as np
+
         return (
-            sig.tolist(),
+            sig.astype(np.int32).tolist(),  # values < 2^31-1: exact
             sh,
             bands.tolist(),
             len(toks),
-            shingles.astype("int64").tolist(),  # uint32 values: exact in int64
+            # uint32 hashes reinterpreted as int32 (equality-preserving)
+            shingles.astype(np.uint32).view(np.int32).tolist(),
             None,
         )
     except Exception as e:  # noqa: BLE001 — any per-doc failure becomes a row
@@ -72,7 +79,7 @@ def fingerprint_row(
 
         sig = kernels.minhash_signature(np.empty(0, dtype=np.uint64), a, b)
         bands = kernels.band_hashes(sig, cfg.bands, cfg.rows_per_band)
-        return sig.tolist(), 0, bands.tolist(), 0, [], sanitize_err(e)
+        return sig.astype(np.int32).tolist(), 0, bands.tolist(), 0, [], sanitize_err(e)
 
 
 def make_fingerprint_udf(

@@ -44,6 +44,26 @@ def _bucket_skew_stats(sized: DataFrame, cap: int) -> dict:
     return row.asDict() if row else {}
 
 
+def _skew_stats_from_sizes(sizes: DataFrame, cap: int) -> dict:
+    """Same stats from a (bucket -> bsz) table (one row per bucket)."""
+    row = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("bsz") > cap).cast("long")).alias("n_overcap"),
+        F.max("bsz").alias("max_bucket"),
+        F.percentile_approx("bsz", 0.95).alias("p95_bucket"),
+    ).first()
+    return row.asDict() if row else {}
+
+
+# all unordered (us[i], us[j]) i<j pairs from a sorted url array, JVM-side:
+# per-bucket work is bounded by the size cap, so the arrays are small
+_COMBOS = (
+    "flatten(transform(us, (x, i) -> "
+    "transform(slice(us, i + 2, size(us) - i - 1), "
+    "y -> struct(x AS url_l, y AS url_r))))"
+)
+
+
 def band_table(docs_fp: DataFrame) -> DataFrame:
     """Explode signatures into skinny (url, band_idx, band_hash) rows."""
     return docs_fp.select(
@@ -63,34 +83,41 @@ def candidate_pairs(
 
     ctx (optional runmeta.RunContext): records the bucket-size distribution
     and cap-fire count into the skew-metrics table.
+
+    Plan shape: ONE shuffle (the size/rank window over the skinny band
+    table), singleton buckets dropped before materialization (on real web
+    corpora most docs are not near-dups, so most band rows die here), then:
+    small buckets pair inside a bounded collect_list array — a hash agg that
+    reuses the window's partitioning (no shuffle, no self-join, no sort);
+    only the rare over-cap buckets pay a rank-adjacent self-join.
     """
+    keys = ["band_idx", "band_hash"]
     bands = band_table(docs_fp)
-    w = Window.partitionBy("band_idx", "band_hash")
-    # materialize once: the sized band table feeds BOTH sides of BOTH
-    # self-joins below — without a checkpoint Spark recomputes the explode +
-    # window lineage 4x (no common-subplan reuse across joins)
-    sized = (
-        bands.withColumn("bsz", F.count("*").over(w))
-        .withColumn("rnk", F.row_number().over(w.orderBy("url")))
-        .localCheckpoint(eager=True)
+    w = Window.partitionBy(*keys)
+    sized = bands.withColumn("bsz", F.count("*").over(w)).withColumn(
+        "rnk", F.row_number().over(w.orderBy("url"))
     )
+    # materialize once (feeds skew stats + both pairing paths), WITHOUT the
+    # pair-less singleton buckets — the dominant rows at realistic dup rates
+    multi = sized.where(F.col("bsz") > 1).localCheckpoint(eager=True)
     if ctx is not None:
+        # n_buckets counts multi-occupancy buckets (the ones that can pair)
         ctx.record_skew(
-            "lsh_bands", cfg.max_bucket_size, _bucket_skew_stats(sized, cfg.max_bucket_size)
+            "lsh_bands", cfg.max_bucket_size, _bucket_skew_stats(multi, cfg.max_bucket_size)
         )
 
-    small = sized.where(F.col("bsz") <= cfg.max_bucket_size).drop("bsz")
-    sp = (
-        small.alias("l")
-        .join(small.alias("r"), ["band_idx", "band_hash"])
-        .where(F.col("l.url") < F.col("r.url"))
-        .select(F.col("l.url").alias("url_l"), F.col("r.url").alias("url_r"))
+    small = (
+        multi.where(F.col("bsz") <= cfg.max_bucket_size)
+        .groupBy(*keys)  # partitioning preserved from the window: no shuffle
+        .agg(F.sort_array(F.collect_list("url")).alias("us"))
+        .select(F.explode(F.expr(_COMBOS)).alias("p"))
+        .select("p.url_l", "p.url_r")
     )
 
-    big = sized.where(F.col("bsz") > cfg.max_bucket_size).drop("bsz")
+    big = multi.where(F.col("bsz") > cfg.max_bucket_size)
     bp = (
         big.alias("l")
-        .join(big.alias("r"), ["band_idx", "band_hash"])
+        .join(big.alias("r"), keys)
         .where(
             (F.col("r.rnk") > F.col("l.rnk"))
             & (F.col("r.rnk") - F.col("l.rnk") <= NEIGHBOR_K)
@@ -98,7 +125,7 @@ def candidate_pairs(
         .select(F.col("l.url").alias("url_l"), F.col("r.url").alias("url_r"))
     )
 
-    return sp.unionByName(bp).distinct()
+    return small.unionByName(bp).distinct()
 
 
 def verify_pairs(

@@ -5,7 +5,8 @@ entry points 1-2), generalized to near-dups:
 
     web_pages
       -> fingerprint_docs        (scan -> ArrowEvalPython -> project; no shuffle)
-      -> canonical_docs          (collapse exact dups; 1 shuffle on sha256)
+      -> winner-per-digest       (exact-dup collapse on a SKINNY projection;
+                                  wide rows never shuffle)
       -> candidate_pairs         (skinny band explode; skew-capped bucket join)
       -> verify_pairs            (sig prefilter -> exact Jaccard on shingle
                                   arrays, pure codegen — no text shuffle)
@@ -27,7 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window, functions as F
 
 from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
-from bigtrees_spark.operators import cc, dedup, lsh
+from bigtrees_spark.operators import cc, lsh
 from bigtrees_spark.operators.fingerprint import fingerprint_docs
 
 
@@ -65,15 +66,31 @@ def near_dedup_pipeline(
     clean_fp = docs_fp.where(F.col("error").isNull())
     err_fp = docs_fp.where(F.col("error").isNotNull())
 
-    reps = dedup.canonical_docs(clean_fp)
+    # exact-dup collapse on a SKINNY projection only: the winner-per-digest
+    # window never sees text/minhash/shingles payloads, and downstream
+    # stages pull exactly the columns they need from the persisted docs_fp
+    # by url — wide rows never ride a shuffle anywhere in this plan
+    # (dedup.canonical_docs remains the materialized-reps operator for
+    # callers that want full rows)
+    order = [c for c in ("warc_ts", "url") if c in clean_fp.columns]
+    w_rep = Window.partitionBy("sha256").orderBy(*[F.asc(c) for c in order])
+    winners = (
+        clean_fp.select("sha256", *order)
+        .withColumn("_rn", F.row_number().over(w_rep))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     if persist:
-        reps = reps.persist()
+        winners = winners.persist()
+    rep_urls = winners.select("url")
 
-    pairs = lsh.candidate_pairs(reps, cfg, ctx=ctx)
-    edges = lsh.verify_pairs(pairs, reps, cfg)
+    band_src = clean_fp.select("url", "bands").join(rep_urls, "url", "left_semi")
+    pairs = lsh.candidate_pairs(band_src, cfg, ctx=ctx)
+    edges = lsh.verify_pairs(pairs, clean_fp, cfg)
     if use_simhash_edges:
+        sim_src = clean_fp.select("url", "simhash").join(rep_urls, "url", "left_semi")
         edges = edges.select("url_l", "url_r").unionByName(
-            lsh.simhash_edges(reps, cfg, ctx=ctx).select("url_l", "url_r")
+            lsh.simhash_edges(sim_src, cfg, ctx=ctx).select("url_l", "url_r")
         )
     if extra_edges is not None:
         edges = edges.select("url_l", "url_r").unionByName(
@@ -84,7 +101,7 @@ def near_dedup_pipeline(
 
     # expand rep labels to every member of the rep's exact-dup group, then
     # relabel cluster_id = min(url) over the FULL membership for determinism
-    rep_labels = reps.select("url", "sha256").join(labels, "url", "left").select(
+    rep_labels = winners.select("url", "sha256").join(labels, "url", "left").select(
         F.col("sha256"), F.coalesce(F.col("cluster_id"), F.col("url")).alias("rep_cluster")
     )
     member_labels = clean_fp.select("url", "sha256").join(rep_labels, "sha256").select(
