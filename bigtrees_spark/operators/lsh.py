@@ -27,25 +27,9 @@ NEIGHBOR_K = 3  # windowed pairing width inside over-cap buckets
 SIMHASH_CHUNK_CAP = 10_000  # chunk buckets above this switch to rank pairing
 
 
-def _bucket_skew_stats(sized: DataFrame, cap: int) -> dict:
-    """Bucket-size distribution of a (already checkpointed) sized/ranked
-    bucket table: rnk==1 selects one row per bucket, so this is one cheap agg
-    over the materialized table — 'skew: measured, not assumed' (SURVEY §7)."""
-    row = (
-        sized.where(F.col("rnk") == 1)
-        .agg(
-            F.count("*").alias("n_buckets"),
-            F.sum((F.col("bsz") > cap).cast("long")).alias("n_overcap"),
-            F.max("bsz").alias("max_bucket"),
-            F.percentile_approx("bsz", 0.95).alias("p95_bucket"),
-        )
-        .first()
-    )
-    return row.asDict() if row else {}
-
-
 def _skew_stats_from_sizes(sizes: DataFrame, cap: int) -> dict:
-    """Same stats from a (bucket -> bsz) table (one row per bucket)."""
+    """Skew stats from a (bucket -> bsz) table (one row per bucket) —
+    'skew: measured, not assumed' (SURVEY §7)."""
     row = sizes.agg(
         F.count("*").alias("n_buckets"),
         F.sum((F.col("bsz") > cap).cast("long")).alias("n_overcap"),
@@ -55,13 +39,68 @@ def _skew_stats_from_sizes(sizes: DataFrame, cap: int) -> dict:
     return row.asDict() if row else {}
 
 
-# all unordered (us[i], us[j]) i<j pairs from a sorted url array, JVM-side:
+# all unordered (us[i], us[j]) i<j pairs from a sorted item array, JVM-side:
 # per-bucket work is bounded by the size cap, so the arrays are small
 _COMBOS = (
     "flatten(transform(us, (x, i) -> "
     "transform(slice(us, i + 2, size(us) - i - 1), "
-    "y -> struct(x AS url_l, y AS url_r))))"
+    "y -> struct(x AS l, y AS r))))"
 )
+
+
+def _skewcapped_pairs(
+    items: DataFrame, keys: list, cap: int, ctx=None, skew_name: str = "buckets"
+) -> DataFrame:
+    """Distinct (l, r) pairs (l < r) per bucket, skew-capped — the shared
+    pairing core of candidate_pairs and simhash_edges.
+
+    `items` has the bucket-key columns plus one `item` column (a string or a
+    struct whose first field orders the pair, e.g. struct(url, simhash)).
+
+    Buckets <= cap: ALL within-bucket pairs.  Buckets > cap: rank-adjacent
+    pairs only (each item paired with its NEIGHBOR_K successors in item
+    order) — a documented recall trade-off for pathological buckets that
+    keeps every bucket CONNECTED for the downstream CC stage.
+
+    Plan shape (one window stage + one small re-shuffle, no self-join):
+      * ONE ordered window computes bucket size AND, for over-cap rows only,
+        the array of NEIGHBOR_K successor items (F.lead) — so the fallback
+        pairs are a pure projection, not a join;
+      * singleton buckets (the dominant case at realistic dup rates) are
+        dropped BEFORE the checkpoint materializes anything;
+      * small buckets pair inside a bounded collect_list array + a JVM
+        combination expression.  The checkpoint erases partitioning
+        metadata (LogicalRDD reports UnknownPartitioning under AQE), so
+        this groupBy re-shuffles the surviving small-bucket rows once —
+        skinny rows, post-singleton-drop; measured cheaper than the
+        alternative (recomputing the window per branch).
+    """
+    w = Window.partitionBy(*keys)
+    wo = w.orderBy("item")
+    nbrs = F.array(*[F.lead("item", k).over(wo) for k in range(1, NEIGHBOR_K + 1)])
+    sized = items.withColumn("bsz", F.count("*").over(w)).withColumn(
+        # prune in the same stage: the K-wide successor arrays exist only on
+        # over-cap rows, so they never ride the checkpoint for normal buckets
+        "nbrs",
+        F.when(F.col("bsz") > cap, F.filter(nbrs, lambda x: x.isNotNull())),
+    )
+    multi = sized.where(F.col("bsz") > 1).localCheckpoint(eager=True)
+    if ctx is not None:
+        # n_buckets counts multi-occupancy buckets (the ones that can pair)
+        sizes = multi.groupBy(*keys).agg(F.max("bsz").alias("bsz"))
+        ctx.record_skew(skew_name, cap, _skew_stats_from_sizes(sizes, cap))
+
+    small = (
+        multi.where(F.col("bsz") <= cap)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("item")).alias("us"))
+        .select(F.explode(F.expr(_COMBOS)).alias("p"))
+        .select("p.l", "p.r")
+    )
+    big = multi.where(F.col("bsz") > cap).select(
+        F.col("item").alias("l"), F.explode("nbrs").alias("r")
+    )
+    return small.unionByName(big).distinct()
 
 
 def band_table(docs_fp: DataFrame) -> DataFrame:
@@ -84,48 +123,14 @@ def candidate_pairs(
     ctx (optional runmeta.RunContext): records the bucket-size distribution
     and cap-fire count into the skew-metrics table.
 
-    Plan shape: ONE shuffle (the size/rank window over the skinny band
-    table), singleton buckets dropped before materialization (on real web
-    corpora most docs are not near-dups, so most band rows die here), then:
-    small buckets pair inside a bounded collect_list array — a hash agg that
-    reuses the window's partitioning (no shuffle, no self-join, no sort);
-    only the rare over-cap buckets pay a rank-adjacent self-join.
+    Plan shape: see _skewcapped_pairs — one window stage over the skinny
+    band table, singleton buckets dropped pre-checkpoint, no self-join on
+    either path.
     """
-    keys = ["band_idx", "band_hash"]
-    bands = band_table(docs_fp)
-    w = Window.partitionBy(*keys)
-    sized = bands.withColumn("bsz", F.count("*").over(w)).withColumn(
-        "rnk", F.row_number().over(w.orderBy("url"))
-    )
-    # materialize once (feeds skew stats + both pairing paths), WITHOUT the
-    # pair-less singleton buckets — the dominant rows at realistic dup rates
-    multi = sized.where(F.col("bsz") > 1).localCheckpoint(eager=True)
-    if ctx is not None:
-        # n_buckets counts multi-occupancy buckets (the ones that can pair)
-        ctx.record_skew(
-            "lsh_bands", cfg.max_bucket_size, _bucket_skew_stats(multi, cfg.max_bucket_size)
-        )
-
-    small = (
-        multi.where(F.col("bsz") <= cfg.max_bucket_size)
-        .groupBy(*keys)  # partitioning preserved from the window: no shuffle
-        .agg(F.sort_array(F.collect_list("url")).alias("us"))
-        .select(F.explode(F.expr(_COMBOS)).alias("p"))
-        .select("p.url_l", "p.url_r")
-    )
-
-    big = multi.where(F.col("bsz") > cfg.max_bucket_size)
-    bp = (
-        big.alias("l")
-        .join(big.alias("r"), keys)
-        .where(
-            (F.col("r.rnk") > F.col("l.rnk"))
-            & (F.col("r.rnk") - F.col("l.rnk") <= NEIGHBOR_K)
-        )
-        .select(F.col("l.url").alias("url_l"), F.col("r.url").alias("url_r"))
-    )
-
-    return small.unionByName(bp).distinct()
+    items = band_table(docs_fp).withColumnRenamed("url", "item")
+    return _skewcapped_pairs(
+        items, ["band_idx", "band_hash"], cfg.max_bucket_size, ctx=ctx, skew_name="lsh_bands"
+    ).select(F.col("l").alias("url_l"), F.col("r").alias("url_r"))
 
 
 def verify_pairs(
@@ -205,10 +210,13 @@ def simhash_edges(
     connectivity-preserving fallback candidate_pairs uses — so a hot chunk
     degrades to a chain of verified edges instead of silently losing every
     pair.  ctx (runmeta.RunContext) records how often the cap fired.
+
+    Plan shape: see _skewcapped_pairs (shared core) — the item is
+    struct(url, simhash), so pairs carry both fingerprints out of the
+    pairing stage and the Hamming verify never joins back to docs_fp.
     """
     chunks = docs_fp.select(
-        "url",
-        "simhash",
+        F.struct("url", "simhash").alias("item"),
         F.explode(
             F.array(
                 *[
@@ -222,45 +230,16 @@ def simhash_edges(
                 ]
             )
         ).alias("c"),
-    ).select("url", "simhash", "c.chunk_idx", "c.chunk_val")
+    ).select("item", "c.chunk_idx", "c.chunk_val")
 
-    w = Window.partitionBy("chunk_idx", "chunk_val")
-    sized = (
-        chunks.withColumn("bsz", F.count("*").over(w))
-        .withColumn("rnk", F.row_number().over(w.orderBy("url")))
-        .localCheckpoint(eager=True)  # feeds both sides of both self-joins
+    pairs = _skewcapped_pairs(
+        chunks, ["chunk_idx", "chunk_val"], chunk_cap, ctx=ctx, skew_name="simhash_chunks"
+    ).select(
+        F.col("l.url").alias("url_l"),
+        F.col("r.url").alias("url_r"),
+        F.col("l.simhash").alias("sh_l"),
+        F.col("r.simhash").alias("sh_r"),
     )
-    if ctx is not None:
-        ctx.record_skew("simhash_chunks", chunk_cap, _bucket_skew_stats(sized, chunk_cap))
-
-    small = sized.where(F.col("bsz") <= chunk_cap)
-    sp = (
-        small.alias("l")
-        .join(small.alias("r"), ["chunk_idx", "chunk_val"])
-        .where(F.col("l.url") < F.col("r.url"))
-        .select(
-            F.col("l.url").alias("url_l"),
-            F.col("r.url").alias("url_r"),
-            F.col("l.simhash").alias("sh_l"),
-            F.col("r.simhash").alias("sh_r"),
-        )
-    )
-    big = sized.where(F.col("bsz") > chunk_cap)
-    bp = (
-        big.alias("l")
-        .join(big.alias("r"), ["chunk_idx", "chunk_val"])
-        .where(
-            (F.col("r.rnk") > F.col("l.rnk"))
-            & (F.col("r.rnk") - F.col("l.rnk") <= NEIGHBOR_K)
-        )
-        .select(
-            F.col("l.url").alias("url_l"),
-            F.col("r.url").alias("url_r"),
-            F.col("l.simhash").alias("sh_l"),
-            F.col("r.simhash").alias("sh_r"),
-        )
-    )
-    pairs = sp.unionByName(bp).distinct()
     return (
         pairs.withColumn(
             "hamming",
