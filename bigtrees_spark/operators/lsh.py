@@ -49,7 +49,12 @@ _COMBOS = (
 
 
 def _skewcapped_pairs(
-    items: DataFrame, keys: list, cap: int, ctx=None, skew_name: str = "buckets"
+    items: DataFrame,
+    keys: list,
+    cap: int,
+    ctx=None,
+    skew_name: str = "buckets",
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct (l, r) pairs (l < r) per bucket, skew-capped — the shared
     pairing core of candidate_pairs and simhash_edges.
@@ -100,7 +105,10 @@ def _skewcapped_pairs(
     big = multi.where(F.col("bsz") > cap).select(
         F.col("item").alias("l"), F.explode("nbrs").alias("r")
     )
-    return small.unionByName(big).distinct()
+    out = small.unionByName(big)
+    # callers whose next step is already a groupBy over the pair key can skip
+    # the dedup shuffle (duplicates across bands are merged there anyway)
+    return out.distinct() if distinct else out
 
 
 def band_table(docs_fp: DataFrame) -> DataFrame:

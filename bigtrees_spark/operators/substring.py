@@ -22,11 +22,12 @@ the extend step confirms a true >= min_len common substring.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import IntegerType
 
 from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
 from bigtrees_spark.functions.spark_udfs import make_winnow_udf
+from bigtrees_spark.operators import lsh
 
 MAX_FP_BUCKET = 50  # fingerprint buckets above this are rank-chained like LSH
 
@@ -76,44 +77,26 @@ def substring_edges(
     verified verbatim substring >= cfg.substring_min_len bytes."""
     fps = winnow_table(docs, cfg)
 
-    w = Window.partitionBy("fp")
-    # checkpoint: feeds both sides of both pair joins (see lsh.candidate_pairs)
-    sized = (
-        fps.withColumn("bsz", F.count("*").over(w))
-        .withColumn("rnk", F.row_number().over(w.orderBy("url", "pos")))
-        .localCheckpoint(eager=True)
-    )
-    small = sized.where(F.col("bsz") <= MAX_FP_BUCKET)
-    big = sized.where(F.col("bsz") > MAX_FP_BUCKET)
-
-    def pair(df: DataFrame, chained: bool) -> DataFrame:
-        cond = F.col("l.url") < F.col("r.url")
-        if chained:
-            cond = (F.col("r.rnk") - F.col("l.rnk")).between(1, 3) & (
-                F.col("l.url") != F.col("r.url")
-            )
-        return (
-            df.alias("l")
-            .join(df.alias("r"), "fp")
-            .where(cond)
-            .select(
-                F.least(F.col("l.url"), F.col("r.url")).alias("url_l"),
-                F.greatest(F.col("l.url"), F.col("r.url")).alias("url_r"),
-                F.when(F.col("l.url") < F.col("r.url"), F.col("l.pos"))
-                .otherwise(F.col("r.pos"))
-                .alias("pos_l"),
-                F.when(F.col("l.url") < F.col("r.url"), F.col("r.pos"))
-                .otherwise(F.col("l.pos"))
-                .alias("pos_r"),
-            )
-        )
+    # shared skew-capped pairing core (lsh._skewcapped_pairs): item carries
+    # the seed position, items sort by (url, pos), so l < r lexicographically
+    # and same-doc combos are dropped by the url inequality below; over-cap
+    # fingerprint buckets degrade to rank-chained pairs (no self-join on
+    # either branch).  distinct=False: the seed groupBy below dedups anyway.
+    items = fps.select("fp", F.struct("url", "pos").alias("item"))
+    pairs = lsh._skewcapped_pairs(
+        items, ["fp"], MAX_FP_BUCKET, skew_name="winnow_fps", distinct=False
+    ).where(F.col("l.url") != F.col("r.url"))
 
     # up to 4 seed positions per pair: a lone seed can be a spurious short
     # match (same gram at unrelated positions); any seed inside the true
     # shared region extends to its full length, so max over a few suffices
     cands = (
-        pair(small, False)
-        .unionByName(pair(big, True))
+        pairs.select(
+            F.col("l.url").alias("url_l"),
+            F.col("r.url").alias("url_r"),
+            F.col("l.pos").alias("pos_l"),
+            F.col("r.pos").alias("pos_r"),
+        )
         .groupBy("url_l", "url_r")
         .agg(F.slice(F.collect_list(F.struct("pos_l", "pos_r")), 1, 4).alias("seeds"))
         .select("url_l", "url_r", F.explode("seeds").alias("s"))
