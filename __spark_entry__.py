@@ -434,6 +434,20 @@ def q_media_decode(spark, sf_dir):
     return extract_media_features(d).select("url", "width", "height")
 
 
+def q_media_resize(spark, sf_dir):
+    """Resize plumbing (decode->resample->re-encode mapInPandas hot loop).
+    The re-encoded payload is blake2b-keyed (rows-only), but the target dims
+    and the non-empty payload contract are asserted here."""
+    from bigtrees_spark.operators.multimodal import resize_images
+
+    d = _docs(spark, sf_dir).select(
+        _url().alias("url"), F.encode("text", "utf-8").alias("payload")
+    )
+    return resize_images(d, 32, 16).select(
+        "url", "width", "height", F.octet_length("payload").alias("n_payload_bytes")
+    )
+
+
 def q_lsh_ann_pairs(spark, sf_dir):
     """Hyperplane-LSH embedding near-dup path (rows-only; exactness baseline
     is q_embedding_neardup)."""
@@ -568,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_counts": q_winnow_counts,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
         "lsh_ann_pairs": q_lsh_ann_pairs,
         "prefix_dupes": q_prefix_dupes,
         "simhash_edges": q_simhash_edges,
@@ -824,6 +839,14 @@ FROM per_prefix GROUP BY 1 HAVING count(*) > 1
 SELECT printf('d%08d', doc_id) AS url,
        strlen(text)::BIGINT AS n_bytes,
        sha256(text) AS content_sha256
+FROM documents
+""",
+        # resize contract: one row per doc, target dims, and the re-encoded
+        # payload size — 32-byte blake2b key x (32*16)//32 repeats = 512 —
+        # are all deterministic functions of the (w=32, h=16) config
+        "media_resize": """
+SELECT printf('d%08d', doc_id) AS url,
+       32 AS width, 16 AS height, 512 AS n_payload_bytes
 FROM documents
 """,
         "minhash_twin_verdicts": """

@@ -125,6 +125,58 @@ def frame_sample_plan(
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),  # re-encoded resized image
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    use_fake_decoder: bool = True,
+) -> DataFrame:
+    """media(url, payload binary) -> (url, width, height, payload) resized via
+    mapInPandas — the decode→resize→re-encode hot loop of an image training
+    pipeline.  Like extract_media_features, the decode/encode kernel is the
+    swap point (PIL/libvips on a real cluster); the fake path re-encodes a
+    deterministic blake2b-keyed byte string of the target size's scale so the
+    batch shape, schema, and payload round-trip are fully exercised."""
+    decoder = fake_decode if use_fake_decoder else decode_image
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, payloads = [], []
+            for u, b in zip(pdf["url"], pdf[payload_col]):
+                decoder(bytes(b or b""))  # stub swap point: decode+resample
+                # fake "re-encode": deterministic bytes keyed by (content,
+                # target dims) — stable across executors/retries
+                key = hashlib.blake2b(
+                    (bytes(b or b"")) + f"|{target_w}x{target_h}".encode(),
+                    digest_size=32,
+                ).digest()
+                urls.append(u)
+                payloads.append(key * max(1, (target_w * target_h) // 32))
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "width": pd.Series([target_w] * len(urls), dtype="int32"),
+                    "height": pd.Series([target_h] * len(urls), dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return media.select("url", F.col(payload_col)).mapInPandas(
+        process, schema=RESIZED_SCHEMA
+    )
+
+
 def drop_payload(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """dropFileData analog (HashTree/Base.hs:322-326): project away the binary
     payload once metadata/features are extracted."""

@@ -7,11 +7,13 @@ import pytest
 
 from bigtrees_spark.operators.multimodal import (
     MEDIA_META_SCHEMA,
+    RESIZED_SCHEMA,
     decode_image,
     drop_payload,
     extract_media_features,
     fake_decode,
     frame_sample_plan,
+    resize_images,
 )
 
 
@@ -66,3 +68,17 @@ def test_frame_sample_plan(media):
 
 def test_drop_payload(media):
     assert "payload" not in drop_payload(media).columns
+
+
+def test_resize_images_schema_dims_and_determinism(media):
+    out = resize_images(media, 32, 16)
+    assert out.schema == RESIZED_SCHEMA
+    rows = out.collect()
+    assert len(rows) == media.count()
+    assert all(r.width == 32 and r.height == 16 for r in rows)
+    assert all(len(bytes(r.payload)) > 0 for r in rows)
+    # deterministic across partitioning AND keyed by target dims
+    again = {r.url: bytes(r.payload) for r in resize_images(media.repartition(7), 32, 16).collect()}
+    assert {r.url: bytes(r.payload) for r in rows} == again
+    other = {r.url: bytes(r.payload) for r in resize_images(media, 64, 64).collect()}
+    assert all(other[u] != p for u, p in again.items())
