@@ -225,6 +225,18 @@ def q_token_count(spark, sf_dir):
     return with_token_counts(d).select("doc_id", "n_words", "n_tokens_bpe")
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Learned-BPE token counts (functions/bpe.py): merges trained on a
+    seed-pinned driver sample, applied via Arrow UDF.  Rows-only — the merge
+    table is corpus-statistics-dependent, not SQL-expressible; the tokenizer
+    itself is known-answer-gated in tests/test_bpe.py."""
+    from bigtrees_spark.functions.bpe import fit_bpe, with_bpe_token_counts
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = fit_bpe(d, n_merges=200, sample_size=1000)
+    return with_bpe_token_counts(d, merges).select("doc_id", "n_tokens_bpe_learned")
+
+
 def q_quality(spark, sf_dir):
     from bigtrees_spark.operators.textstats import with_quality
 
@@ -570,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digest_tree": q_digest_tree,
         "root_info": q_root_info,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,

@@ -36,7 +36,9 @@ def _word_count(col: Column) -> Column:
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n_words (whitespace) and n_tokens_bpe (BPE-ish regex token estimate:
-    word pieces of <=4 chars + digits + punctuation as separate tokens)."""
+    word pieces of <=4 chars + digits + punctuation as separate tokens).
+    For a REAL learned-BPE count see functions/bpe.py (sample-trained merges,
+    Arrow UDF) — this regex estimate stays as the zero-Python fast path."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     # BPE-ish: count [a-zA-Z]{1,4} pieces, digit runs, and non-space symbols
     bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0)))
