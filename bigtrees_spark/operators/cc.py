@@ -19,6 +19,8 @@ Design for 10^12-node scale:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -65,11 +67,14 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-DRIVER_CC_MAX_EDGES = 2_000_000
+# env override so scaling measurements can pin the distributed path (the one
+# a real multi-executor cluster runs — driver union-find is impossible at
+# 10^12 docs); adaptive default everywhere else
+DRIVER_CC_MAX_EDGES = int(os.environ.get("SPARK_GRAFT_DRIVER_CC_MAX_EDGES", 2_000_000))
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, driver_threshold: int = DRIVER_CC_MAX_EDGES
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int | None = None
 ) -> DataFrame:
     """edges(url_l, url_r) -> labels(url, cluster_id) for every node that
     appears in an edge.  cluster_id = min(url) of the component.
@@ -83,6 +88,8 @@ def connected_components(
     one that runs; the driver path keeps incremental/small-partition runs
     from paying 10+ scheduler round-trips for kilobyte graphs.
     """
+    if driver_threshold is None:
+        driver_threshold = DRIVER_CC_MAX_EDGES
     e = (
         edges.select(F.col("url_l").alias("u"), F.col("url_r").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -93,8 +100,12 @@ def connected_components(
         return _driver_cc(e)
     prev = _checksum(e)
     for _ in range(max_iter):
-        e = _large_star(e).localCheckpoint()
-        e = _small_star(e).localCheckpoint()
+        # ONE materialization per round: large-star -> small-star fuse into a
+        # single lineage (their joins chain fine inside one adaptive query);
+        # checkpointing each half-step separately doubled the per-round
+        # barrier count, which is what dominates CC wall time when the graph
+        # is small relative to the round overhead.
+        e = _small_star(_large_star(e)).localCheckpoint()
         cur = _checksum(e)
         if cur == prev:
             break

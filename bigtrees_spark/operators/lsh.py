@@ -13,7 +13,14 @@ Scale design (north_rule: "partitioning / shuffle / skew handled explicitly"):
     connectivity for the CC stage while capping the pair join at O(m*K)
     instead of O(m^2);  exact-dup collapse BEFORE banding (dedup.canonical_docs)
     already removes the worst offenders;
-  * AQE skew-join splitting stays on for the residual skew (session.py).
+  * AQE skew-join splitting stays on for the residual skew (session.py);
+  * partitioning choice: the pairing window hash-partitions on the band keys
+    (band_hash is uniform by construction — a minhash of minhashes — so hash
+    partitioning is already balanced; repartitionByRange would add a sampling
+    pass to learn a distribution that is uniform by design).  Over-cap
+    buckets are additionally SALTED: their rows re-hash on (keys, item) so
+    the fallback pair generation spreads across tasks instead of running
+    where the window sort left the bucket.
 """
 
 from __future__ import annotations
@@ -102,8 +109,16 @@ def _skewcapped_pairs(
         .select(F.explode(F.expr(_COMBOS)).alias("p"))
         .select("p.l", "p.r")
     )
-    big = multi.where(F.col("bsz") > cap).select(
-        F.col("item").alias("l"), F.explode("nbrs").alias("r")
+    # SALT the hot buckets (north_star: "salting hot LSH buckets"): after the
+    # window, a whole over-cap bucket sits in ONE task; its m*K pair explode
+    # would be a single-task straggler at monster-bucket scale.  Re-hashing
+    # on (keys, item) spreads the bucket's rows — each already carries its
+    # successor array, so the explode needs no bucket locality.  Only the
+    # rare over-cap rows pay this extra (skinny) shuffle.
+    big = (
+        multi.where(F.col("bsz") > cap)
+        .repartition(*keys, "item")
+        .select(F.col("item").alias("l"), F.explode("nbrs").alias("r"))
     )
     out = small.unionByName(big)
     # callers whose next step is already a groupBy over the pair key can skip

@@ -66,6 +66,11 @@ def near_dedup_pipeline(
     clean_fp = docs_fp.where(F.col("error").isNull())
     err_fp = docs_fp.where(F.col("error").isNotNull())
 
+    if ctx is not None:
+        # SURVEY §7 'skew: measured, not assumed' — input balance of the
+        # fingerprint stage (rows/partition max vs median = straggler signal)
+        ctx.record_partition_balance("docs_fp", docs_fp.select("url"))
+
     # exact-dup collapse on a SKINNY projection only: the winner-per-digest
     # window never sees text/minhash/shingles payloads, and downstream
     # stages pull exactly the columns they need from the persisted docs_fp

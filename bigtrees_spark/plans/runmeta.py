@@ -156,6 +156,37 @@ class RunContext:
         )
         df.write.mode("append").parquet(self.skew_path)
 
+    def record_partition_balance(self, stage: str, df: DataFrame) -> None:
+        """Per-partition row distribution for a stage input — SURVEY §7's
+        'per-partition task times' in its measurable form on a UI-less local
+        session: inside a whole-stage-codegen stage task time is proportional
+        to rows, so rows-per-partition max/p95 vs median is the skew signal.
+        Reuses the skew-metrics schema: stage='<name>:partitions',
+        n_buckets=#partitions, max/p95_bucket=rows, n_overcap=#partitions
+        holding more than 2x the median (the straggler count), cap=2x median.
+
+        The per-partition count table is at most #partitions rows — tiny —
+        so the stats fold happens driver-side in one cheap job."""
+        pdf = (
+            df.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("n"))
+            .toPandas()
+        )
+        if len(pdf) == 0:
+            return
+        med = float(pdf["n"].median())
+        threshold = int(2 * max(med, 1.0))
+        self.record_skew(
+            f"{stage}:partitions",
+            threshold,
+            {
+                "n_buckets": int(len(pdf)),
+                "n_overcap": int((pdf["n"] > threshold).sum()),
+                "max_bucket": int(pdf["n"].max()),
+                "p95_bucket": int(pdf["n"].quantile(0.95)),
+            },
+        )
+
     def read_skew(self) -> DataFrame:
         if os.path.exists(self.skew_path):
             return self.spark.read.parquet(self.skew_path)

@@ -81,6 +81,31 @@ def test_skew_metrics_recorded(spark, hot_chunk_fp, tmp_path):
     assert skew["lsh_bands"].n_buckets > 0
 
 
+def test_partition_balance_recorded(spark, hot_chunk_fp, tmp_path):
+    """SURVEY §7: per-partition row balance (the task-time proxy) lands in
+    the skew table, both directly and via the pipeline's ctx hook."""
+    ctx = RunContext.new(spark, str(tmp_path / "metrics"))
+    ctx.record_partition_balance("docs_fp", hot_chunk_fp.select("url"))
+    skew = {r.stage: r for r in ctx.read_skew().collect()}
+    s = skew["docs_fp:partitions"]
+    assert s.n_buckets >= 1                      # partitions counted
+    assert s.max_bucket >= 1
+    assert s.p95_bucket <= s.max_bucket
+    assert s.n_overcap >= 0 and s.cap >= 2       # 2x-median straggler bound
+
+    from bigtrees_spark.plans.pipeline import near_dedup_pipeline
+
+    ts = datetime.datetime(2025, 1, 1)
+    src = spark.createDataFrame(
+        [(f"u/{i}", ts, None, f"body words number {i} repeated thing", "en") for i in range(30)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    ctx2 = RunContext.new(spark, str(tmp_path / "metrics2"))
+    near_dedup_pipeline(src, ctx=ctx2).clusters.count()
+    stages = {r.stage for r in ctx2.read_skew().collect()}
+    assert "docs_fp:partitions" in stages
+
+
 def test_small_buckets_unchanged_by_cap_path(spark, pages):
     """With a huge cap, the new union path must equal the pure all-pairs
     result (no behavior change for normal buckets)."""
