@@ -3,15 +3,46 @@ Spark-UDF parity with the driver-side encoder."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from bigtrees_spark.functions.bpe import (
+    END,
     encode_word,
     fit_bpe,
     make_bpe_count_udf,
     train_bpe,
     with_bpe_token_counts,
 )
+
+_MERGES = train_bpe(
+    ["the cat sat on the mat " * 3, "that theme then there " * 2, "aa ab aba abab " * 4],
+    n_merges=120,
+)
+_RANKS = {p: i for i, p in enumerate(_MERGES)}
+
+
+@given(st.text(alphabet="abcdehmnst", min_size=0, max_size=16))
+@settings(max_examples=200, deadline=None)
+def test_encode_word_lossless_and_bounded(word):
+    """BPE invariants for ANY word under ANY merge table: the pieces
+    concatenate back to word+END (merges never drop or reorder bytes), and
+    the piece count is within [1, len(word)+1]."""
+    pieces = encode_word(word, _RANKS)
+    assert "".join(pieces) == word + END
+    assert 1 <= len(pieces) <= len(word) + 1
+
+
+@given(st.lists(st.text(alphabet="abcdehmnst ", max_size=30), max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_train_bpe_merges_are_valid(texts):
+    """Training on arbitrary corpora yields well-formed merges: no pair
+    merges across the end-of-word sentinel's right side, ranks unique."""
+    merges = train_bpe(texts, n_merges=30)
+    assert len(set(merges)) == len(merges)
+    for a, b in merges:
+        assert not a.endswith(END)  # END can only terminate the right side
 
 
 def test_train_bpe_known_answer():
