@@ -121,31 +121,43 @@ def connected_components(
 
 
 def _driver_cc(e: DataFrame) -> DataFrame:
-    """Local union-find over a collected edge list (small-graph fast path)."""
+    """Local CC over a collected edge list (small-graph fast path).
+
+    Vectorized numpy min-label propagation with pointer jumping — NOT a
+    Python-loop union-find: this path is the pipeline's one serial stage, and
+    the dict-based union-find measured ~30-45 s at 1.5M edges (the dominant
+    Amdahl term in the scaling grid, BASELINE.md); the vectorized form is
+    O((E+V) log n) numpy passes, ~1 s at the same size.
+
+    np.unique returns nodes SORTED, so index order == lexicographic url
+    order and the converged min-index label IS the min-url cluster id —
+    identical labels to the union-find it replaces (tests/test_cc.py gates
+    both paths against an independent union-find oracle).
+    """
     spark = e.sparkSession
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        root = x
-        while parent.setdefault(root, root) != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    pdf_e = e.toPandas()  # Arrow transfer; bounded by driver_threshold edges
-    for u, v in zip(pdf_e["u"].to_numpy(), pdf_e["v"].to_numpy()):
-        ra, rb = find(u), find(v)
-        if ra != rb:
-            # union by label order so smaller string wins as root
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
+    import numpy as np
     import pandas as pd
 
-    nodes = list(parent)
-    pdf = pd.DataFrame({"url": nodes, "cluster_id": [find(n) for n in nodes]})
+    pdf_e = e.toPandas()  # Arrow transfer; bounded by driver_threshold edges
+    if len(pdf_e) == 0:
+        return spark.createDataFrame([], schema="url string, cluster_id string")
+    u = pdf_e["u"].to_numpy()
+    v = pdf_e["v"].to_numpy()
+    nodes, codes = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ue, ve = codes[: len(u)], codes[len(u) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # relax every edge toward the smaller endpoint label, both ways
+        m = np.minimum(label[ue], label[ve])
+        new = label.copy()
+        np.minimum.at(new, ue, m)
+        np.minimum.at(new, ve, m)
+        # pointer jumping: chase one level so chains collapse in O(log n)
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, label):
+            break
+        label = new
+    pdf = pd.DataFrame({"url": nodes, "cluster_id": nodes[label]})
     # Arrow-path createDataFrame: ~10x faster than row-tuple conversion
     return spark.createDataFrame(pdf, schema="url string, cluster_id string")
 
