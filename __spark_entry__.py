@@ -406,6 +406,9 @@ def q_minhash_twin_verdicts(spark, sf_dir):
 
 
 def q_simhash_fingerprints(spark, sf_dir):
+    """Per-doc 64-bit SimHash + token counts (rows-only: Charikar bit-voting
+    over xxhash64 token hashes has no DuckDB equivalent; pinned known-answer
+    vectors live in tests/test_kernels.py)."""
     from bigtrees_spark.operators.fingerprint import fingerprint_docs
 
     d = _docs(spark, sf_dir).select(_url().alias("url"), "text")
@@ -413,6 +416,10 @@ def q_simhash_fingerprints(spark, sf_dir):
 
 
 def q_winnow_counts(spark, sf_dir):
+    """Winnowing fingerprint density per doc (rows-only: the rolling-hash
+    window-minimum selection is not SQL-expressible; the winnowing guarantee
+    itself is property-tested in tests/test_pipeline.py, and the end-to-end
+    substring pass has the oracle-checked `substring_dups` query)."""
     from bigtrees_spark.operators.substring import winnow_table
 
     d = _docs(spark, sf_dir).select(_url().alias("url"), "text")
@@ -521,10 +528,16 @@ def q_ivf_topk(spark, sf_dir):
 def q_url_scope(spark, sf_dir):
     """URL canonicalization + scope filter (pathIsInTree analog,
     Build.hs:128-140).  Odd doc_ids get a MESSY url variant (uppercase
-    scheme/host, www, :80, trailing slash, unsorted query); canonicalization
-    must collapse both variants to the same form, and the scope filter keeps
-    exactly host site1 / path /sec2 — all closed-form in SQL."""
-    from bigtrees_spark.operators.urls import canonicalize_urls, scope_filter
+    scheme/host, www, :80, trailing slash, unsorted query); doc_id % 11 == 3
+    rows get an INVALID url (embedded space — isValidName analog must drop
+    them, Name.hs:149-153); canonicalization must collapse clean/messy to the
+    same form, and the scope filter keeps exactly host site1 / path /sec2 —
+    all closed-form in SQL."""
+    from bigtrees_spark.operators.urls import (
+        canonicalize_urls,
+        scope_filter,
+        valid_url,
+    )
 
     d = _docs(spark, sf_dir).select("doc_id")
     clean = F.format_string(
@@ -538,9 +551,13 @@ def q_url_scope(spark, sf_dir):
         F.col("doc_id") % 4, F.col("doc_id") % 3,
     )
     urls = d.select(
-        F.when(F.col("doc_id") % 2 == 0, clean).otherwise(messy).alias("url")
+        F.when(F.col("doc_id") % 11 == 3, F.concat(clean, F.lit(" x")))
+        .when(F.col("doc_id") % 2 == 0, clean)
+        .otherwise(messy)
+        .alias("url")
     )
-    return scope_filter(canonicalize_urls(urls), "http://site1.com/sec2")
+    return scope_filter(canonicalize_urls(urls.where(valid_url("url"))),
+                        "http://site1.com/sec2")
 
 
 def q_error_rows(spark, sf_dir):
@@ -871,7 +888,7 @@ FROM documents
 SELECT printf('http://site%d.com/sec%d/d%08d?a=%d&b=%d',
               doc_id % 7, doc_id % 5, doc_id, doc_id % 3, doc_id % 4) AS url
 FROM documents
-WHERE doc_id % 7 = 1 AND doc_id % 5 = 2
+WHERE doc_id % 7 = 1 AND doc_id % 5 = 2 AND doc_id % 11 <> 3
 """,
         "error_rows": """
 SELECT lang,

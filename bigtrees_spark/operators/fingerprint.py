@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
+from bigtrees_spark.functions.errors import sanitize_err_msg
 from bigtrees_spark.functions.spark_udfs import make_fingerprint_udf
 from bigtrees_spark.sources.extraction import make_extract_checked_udf
 
@@ -114,8 +115,18 @@ def _fingerprint_projection(
             F.col("_fp.bands").alias("bands"),
             F.col("_fp.n_tokens").alias("n_tokens"),
             F.col("_fp.shingles").alias("shingles"),
-            # extraction failure wins (it happened first); else kernel failure
-            F.coalesce(F.col("_extract_error"), F.col("_fp.error")).alias("error"),
+            # extraction failure wins (it happened first); else kernel failure.
+            # Serialized messages pass the reference's character whitelist
+            # (sanitizeErrMsg is applied at err-line write time,
+            # HashLine.hs:155-161); NULL stays NULL so `error IS NULL` works.
+            F.when(
+                F.coalesce(F.col("_extract_error"), F.col("_fp.error")).isNull(),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(
+                sanitize_err_msg(F.coalesce(F.col("_extract_error"), F.col("_fp.error")))
+            )
+            .alias("error"),
         )
     )
 

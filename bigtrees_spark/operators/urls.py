@@ -8,8 +8,12 @@ canonicalization BEFORE any url-keyed stage (exact-dup collapse, diff, move
 detection): `HTTP://WWW.Site.com:80/a/b/?b=2&a=1#frag` and
 `http://site.com/a/b?a=1&b=2` are the same resource.
 
-Everything here is pure Catalyst (parse_url / regexp / array_sort inside
-whole-stage codegen) — no Python, fully pushdown-friendly.
+Everything here is pure Catalyst (try_parse_url / regexp / array_sort inside
+whole-stage codegen) — no Python, fully pushdown-friendly.  try_parse_url,
+not parse_url: under ANSI mode one malformed url in 10^12 rows would throw
+mid-stage (Catalyst may evaluate projections before sibling filters), and a
+malformed row must degrade (NULL -> pass-through / filtered), never kill the
+job — the same Err-row philosophy as the fingerprint stage.
 
 Pinned canonicalization rules (changing them re-keys every url-keyed table):
   1. scheme and host lowercased; leading `www.` stripped from the host
@@ -25,12 +29,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _host(url: Column) -> Column:
-    h = F.lower(F.parse_url(url, F.lit("HOST")))
+    h = F.lower(F.try_parse_url(url, F.lit("HOST")))
     return F.regexp_replace(h, r"^www\.", "")
 
 
 def _scheme(url: Column) -> Column:
-    return F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    return F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
 
 
 def canonical_url(url) -> Column:
@@ -47,13 +51,13 @@ def canonical_url(url) -> Column:
         & ~((scheme == "http") & (port_str == "80"))
         & ~((scheme == "https") & (port_str == "443"))
     )
-    path = F.parse_url(url, F.lit("PATH"))
+    path = F.try_parse_url(url, F.lit("PATH"))
     path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
     path = F.when(
         (F.length(path) > 1) & path.endswith("/"),
         F.substring(path, 1, F.length(path) - 1),
     ).otherwise(path)
-    query = F.parse_url(url, F.lit("QUERY"))
+    query = F.try_parse_url(url, F.lit("QUERY"))
     sorted_q = F.concat_ws("&", F.array_sort(F.split(query, "&")))
     q_part = F.when(
         query.isNull() | (query == ""), F.lit("")
@@ -78,9 +82,9 @@ def url_in_scope(url, scope: str) -> Column:
     url = F.col(url) if isinstance(url, str) else url
     s = F.lit(scope)
     host_ok = _host(url) == _host(s)
-    up = F.parse_url(url, F.lit("PATH"))
+    up = F.try_parse_url(url, F.lit("PATH"))
     up = F.when(up.isNull() | (up == ""), F.lit("/")).otherwise(up)
-    sp = F.parse_url(s, F.lit("PATH"))
+    sp = F.try_parse_url(s, F.lit("PATH"))
     sp = F.when(sp.isNull() | (sp == ""), F.lit("/")).otherwise(sp)
     sp = F.when(
         (F.length(sp) > 1) & sp.endswith("/"), F.substring(sp, 1, F.length(sp) - 1)
@@ -91,6 +95,25 @@ def url_in_scope(url, scope: str) -> Column:
         | up.startswith(F.concat(sp, F.lit("/")))
     )
     return host_ok & path_ok
+
+
+def valid_url(url) -> Column:
+    """isValidName analog (reference Name.hs:149-153: a node name has no
+    '/', is not '.' or '..', and survives OS encoding).  The URL-corpus
+    restatement: non-null, non-empty, not a bare '.'/'..', and free of
+    whitespace/control bytes (which survive in no valid URL and break the
+    TAB/NUL-delimited row formats the reference serializes to).
+
+    Pure codegen (rlike) — usable as a scan-time filter that pushes down.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    return (
+        url.isNotNull()
+        & (url != "")
+        & (url != ".")
+        & (url != "..")
+        & ~url.rlike(r"[\s\x00-\x1f\x7f]")
+    )
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -68,12 +68,55 @@ SKEW_METRICS_SCHEMA = StructType(
 )
 
 
+# HeadFoot.hs:66-75 analog: the JSON provenance header.  scan_start is POSIX
+# seconds (`round . utcTimeToPOSIXSeconds`, HeadFoot.hs:51-52).
+HEADER_SCHEMA = (
+    "run_id string, config_hash string, app_version string, "
+    "scan_start long, system string"
+)
+
+
+def parse_header(spark: SparkSession, header: str) -> DataFrame:
+    """Round-trip a header_json() string back to columns (from_json,
+    SURVEY §2.9 'JSON encode/decode of Header' row)."""
+    return (
+        spark.createDataFrame([(header,)], "j string")
+        .select(F.from_json("j", HEADER_SCHEMA).alias("h"))
+        .select("h.*")
+    )
+
+
 @dataclass
 class RunContext:
     spark: SparkSession
     metrics_path: str
     run_id: str
     config_hash: str | None = None
+
+    def header_json(self) -> str:
+        """Scan-provenance header as one JSON string (to_json of a struct),
+        the .bigtree JSON-header-comment analog: which program version and
+        config produced this table, started when, on what system."""
+        import platform
+
+        from bigtrees_spark import __version__
+
+        return (
+            self.spark.range(1)
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.lit(self.run_id).alias("run_id"),
+                        F.lit(self.config_hash).alias("config_hash"),
+                        F.lit(__version__).alias("app_version"),
+                        F.unix_timestamp().alias("scan_start"),
+                        F.lit(platform.platform()).alias("system"),
+                    )
+                ).alias("j")
+            )
+            .first()
+            .j
+        )
 
     @classmethod
     def new(

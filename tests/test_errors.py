@@ -175,3 +175,55 @@ def test_url_digest_hint_reuse(spark):
     # without the pattern: everything recomputed (default unchanged)
     fp2 = {r.url: r.sha256 for r in fingerprint_docs(pages).collect()}
     assert fp2[f"cas/SHA256E-s9--{hex64}.bin"] != hex64
+
+# ---------------------------------------------------------------------------
+# sanitizeErrMsg / simplifyErrMsg column analogs (HashLine.hs:155-168)
+# ---------------------------------------------------------------------------
+
+
+def _one(spark, col):
+    from pyspark.sql import functions as F
+
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_sanitize_err_msg_whitelist(spark):
+    from pyspark.sql import functions as F
+
+    from bigtrees_spark.functions.errors import sanitize_err_msg
+
+    raw = 'bad "quote" <tag> 100% én path/x.txt [3]: (ok)_-'
+    got = _one(spark, sanitize_err_msg(F.lit(raw)))
+    # reference keep-set: alnum (Unicode: é stays, isAlphaNum parity),
+    # space, /:()[]._-  — quotes, <>, % dropped
+    assert got == "bad quote tag 100 én path/x.txt [3]: (ok)_-"
+
+
+def test_simplify_err_msg_strips_first_path_segment(spark):
+    from pyspark.sql import functions as F
+
+    from bigtrees_spark.functions.errors import simplify_err_msg
+
+    # Haskell: intercalate ": " . tail . splitOn ": " — only the FIRST
+    # segment (the redundant filepath) goes; later separators survive
+    raw = "/data/part-0001.warc: openFile: does not exist"
+    assert _one(spark, simplify_err_msg(F.lit(raw))) == "openFile: does not exist"
+    # no separator => sanitized string unchanged (length sSplit < 2 branch)
+    assert _one(spark, simplify_err_msg(F.lit("plain message"))) == "plain message"
+    # sanitize runs FIRST, exactly like simplifyErrMsg composes them
+    assert _one(spark, simplify_err_msg(F.lit('"/p": <err>'))) == "err"
+
+
+def test_pipeline_error_column_is_sanitized(spark, pages):
+    import datetime
+
+    poison = spark.createDataFrame(
+        [("poison/huge", datetime.datetime(2025, 1, 1),
+          b"<body>" + b"z" * 150_000 + b"</body>", None, "en")],
+        schema=pages.schema,
+    )
+    fp = fingerprint_docs(poison, CFG_SMALL, extract_from_html=True)
+    err = fp.where("error IS NOT NULL").collect()[0].error
+    assert "HtmlTooLarge" in err
+    # ">" is outside the reference's safe character set
+    assert ">" not in err

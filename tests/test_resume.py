@@ -144,3 +144,18 @@ def test_config_hash_mismatch_forces_recompute(spark, pages, tmp_paths):
     assert fp_b.count() == pages.count()
     ctx_b2 = RunContext.new(spark, metrics, "runB2", config_hash=cfg_b.config_hash())
     assert ctx_b2.pending_buckets(buckets, "fingerprint").count() == 0
+
+
+def test_header_json_round_trip(spark, tmp_path):
+    """HeadFoot.hs:66-75 analog: provenance header JSON round-trips."""
+    from bigtrees_spark import __version__
+    from bigtrees_spark.plans.runmeta import parse_header
+
+    ctx = RunContext.new(spark, str(tmp_path / "m"), "runh", config_hash="cafe")
+    j = ctx.header_json()
+    h = parse_header(spark, j).first()
+    assert h.run_id == "runh"
+    assert h.config_hash == "cafe"
+    assert h.app_version == __version__
+    assert h.scan_start > 1_700_000_000  # POSIX seconds, not ms/null
+    assert h.system  # non-empty platform string

@@ -102,3 +102,29 @@ def test_scope_filter_prunes(spark):
         "url string",
     )
     assert scope_filter(df, "https://x.com/docs").count() == 5
+
+
+@pytest.mark.parametrize(
+    ("url", "want"),
+    [
+        ("https://x.com/a", True),
+        ("doc-001_x.html", True),            # bare synthetic ids are names too
+        ("", False),
+        (".", False),
+        ("..", False),
+        ("https://x.com/a b", False),        # whitespace never survives a url
+        ("https://x.com/a\tb", False),
+        ("https://x.com/\x07bell", False),   # control bytes break row formats
+        (None, False),
+    ],
+)
+def test_valid_url(spark, url, want):
+    from bigtrees_spark.operators.urls import valid_url
+
+    got = (
+        spark.createDataFrame([(url,)], "url string")
+        .select(F.coalesce(valid_url("url"), F.lit(False)).alias("ok"))
+        .first()
+        .ok
+    )
+    assert got == want
