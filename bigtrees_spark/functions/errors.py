@@ -22,9 +22,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Keep-list mirrors HashLine.hs:156-161: isAlphaNum/isSpace plus "/:()[]._-".
-# Haskell's isAlphaNum is Unicode-aware (Lu/Ll/../Nd categories), hence
-# \p{L}\p{N} rather than ASCII ranges; ']' and '-' escaped in the class.
-_SANITIZE_DROP = r"[^\p{L}\p{N}\s/:()\[\]._\-]"
+# Haskell's isAlphaNum/isSpace are Unicode-aware (Lu/Ll/../Nd categories;
+# White_Space incl. NBSP), hence \p{L}\p{N} rather than ASCII ranges and the
+# (?U) flag so Java's \s matches Unicode whitespace too (without it \s is
+# ASCII-only and e.g. U+00A0 would be dropped where the reference keeps it).
+# ']' and '-' escaped in the class.
+_SANITIZE_DROP = r"(?U)[^\p{L}\p{N}\s/:()\[\]._\-]"
 
 # Non-greedy through the FIRST ": " (DOTALL: sanitized text may keep
 # newlines — Haskell's splitOn ignores line boundaries too).

@@ -73,7 +73,14 @@ def canonical_docs(docs_fp: DataFrame, key: str = "sha256") -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return docs_fp.join(winners, [key, *order], "left_semi")
+    # fully duplicated identity rows (same key AND order values — common in
+    # re-crawled WARC dumps) would ALL survive the semi-join; dedupe AFTER it
+    # so the one-row-per-digest contract holds.  Deduping post-collapse keeps
+    # the wide shuffle bounded by the canonical set (~unique digests), not the
+    # raw corpus — deduping docs_fp up front would shuffle every wide row.
+    return docs_fp.join(winners, [key, *order], "left_semi").dropDuplicates(
+        [key, *order]
+    )
 
 
 def prefix_dupe_groups(docs_fp: DataFrame, prefix_expr=None) -> DataFrame:

@@ -100,9 +100,15 @@ class SnapshotSink:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(nxt)
-        # publish: remove old, rename staged — rename is the atomic step;
-        # a crash between rmtree and rename leaves `.next` complete on disk,
-        # recoverable by re-running the commit (idempotent)
+        # publish: move old ASIDE (rename, not rmtree), swap staged in, then
+        # delete the parked copy.  The no-table window is a single rename gap
+        # (rename/rename) instead of a full rmtree(old) duration; a crash in
+        # the gap leaves `.next` complete on disk AND the prior snapshot at
+        # `.old`, so recovery never has to recompute the dataframe — re-run
+        # the commit (idempotent) or restore `.old`.
+        old = path + ".old"
         if os.path.exists(path):
-            shutil.rmtree(path)
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(path, old)
         os.rename(nxt, path)
+        shutil.rmtree(old, ignore_errors=True)

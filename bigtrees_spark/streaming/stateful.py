@@ -87,8 +87,14 @@ def start_host_stats(
 
 
 def latest_host_stats(spark: SparkSession, sink_dir: str) -> DataFrame:
-    """Current running totals: the max-batch_id row per host."""
-    snap = spark.read.parquet(sink_dir)
+    """Current running totals: the max-batch_id row per host.
+
+    foreachBatch is at-least-once: a retry after the sink append but before
+    the checkpoint commit re-appends the same batch_id rows (with identical
+    cumulative values — the state update re-runs from the uncommitted state).
+    dropDuplicates on (host, batch_id) collapses those replays so the
+    max-batch filter returns exactly one row per host."""
+    snap = spark.read.parquet(sink_dir).dropDuplicates(["host", "batch_id"])
     w_latest = F.max("batch_id").over(Window.partitionBy("host"))
     return (
         snap.withColumn("_mx", w_latest)

@@ -199,6 +199,18 @@ def test_sanitize_err_msg_whitelist(spark):
     assert got == "bad quote tag 100 én path/x.txt [3]: (ok)_-"
 
 
+def test_sanitize_err_msg_keeps_unicode_whitespace(spark):
+    """isSpace parity (HashLine.hs:155-161): Haskell isSpace is Unicode-aware,
+    so NBSP / ideographic space must SURVIVE sanitization — Java \\s is
+    ASCII-only without the (?U) flag (ADVICE r02)."""
+    from pyspark.sql import functions as F
+
+    from bigtrees_spark.functions.errors import sanitize_err_msg
+
+    raw = "a b　c\td"  # NBSP, ideographic space, tab — all isSpace
+    assert _one(spark, sanitize_err_msg(F.lit(raw))) == raw
+
+
 def test_simplify_err_msg_strips_first_path_segment(spark):
     from pyspark.sql import functions as F
 

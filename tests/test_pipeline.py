@@ -140,6 +140,33 @@ def test_golden_clusters(result):
     assert got == golden
 
 
+def test_canonical_docs_one_row_per_digest_with_identity_ties(spark):
+    """Fully duplicated identity rows (same sha256 AND warc_ts AND url —
+    common in re-crawled WARC dumps) must still collapse to exactly ONE
+    canonical row per digest; the skinny-window + semi-join rewrite would
+    otherwise return every tied row (ADVICE r02)."""
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("u/a", ts, "h1", 10),
+        ("u/a", ts, "h1", 10),          # full-identity duplicate row
+        ("u/b", ts, "h1", 10),          # later url, same digest: loses
+        ("u/c", ts, "h2", 5),
+        ("u/c", ts, "h2", 5),           # another identity-tied group
+        ("u/c", ts, "h2", 5),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, sha256 string, nbytes long")
+    got = dedup.canonical_docs(df).collect()
+    assert len(got) == 2
+    by_digest = {r.sha256: r.url for r in got}
+    assert by_digest == {"h1": "u/a", "h2": "u/c"}
+
+    # no-order-column path keeps the same contract
+    got2 = dedup.canonical_docs(df.drop("warc_ts").drop("url").withColumn("x", F.lit(1)))
+    assert got2.count() == 2
+
+
 def test_pipeline_from_html_matches_text_path(spark, pages, result):
     """input_hint real-input path: pipeline fed ONLY html bytes (text derived
     by the pinned extractor) yields identical clusters to the text-column

@@ -49,3 +49,27 @@ def test_host_stats_accumulate_across_restarts(spark, tmp_path):
     assert got2["a.com"] == (3, 7)          # resumed, not recounted
     assert got2["c.com"] == (1, 5)
     assert got2["b.com"] == (1, 3)          # untouched host keeps its total
+
+
+def test_latest_host_stats_dedupes_replayed_batches(spark, tmp_path):
+    """foreachBatch is at-least-once: a retried batch re-appends identical
+    (host, batch_id) rows; latest_host_stats must still return exactly one
+    row per host (ADVICE r02)."""
+    import pandas as pd
+
+    from bigtrees_spark.streaming.stateful import latest_host_stats
+
+    sink = str(tmp_path / "sink")
+    rows = pd.DataFrame(
+        {
+            "host": ["a.com", "a.com", "a.com", "b.com"],
+            "n_docs": [2, 3, 3, 1],
+            "n_bytes": [6, 7, 7, 3],
+            "batch_id": [0, 1, 1, 0],   # batch 1 replayed for a.com
+        }
+    )
+    spark.createDataFrame(rows).write.mode("append").parquet(sink)
+    got = latest_host_stats(spark, sink).collect()
+    assert len(got) == 2
+    by_host = {r.host: (r.n_docs, r.n_bytes) for r in got}
+    assert by_host == {"a.com": (3, 7), "b.com": (1, 3)}
