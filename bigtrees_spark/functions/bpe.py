@@ -100,11 +100,17 @@ def fit_bpe(
     sample_size: int = 2000,
     seed: int = 7,
 ) -> list:
-    """Train merges on a seed-pinned driver sample of the corpus."""
-    n = docs.count()
-    frac = min(1.0, sample_size / max(n, 1))
+    """Train merges on a seed-pinned driver sample of the corpus.
+
+    The sample is a seed-keyed hash-ordered top-N (TakeOrderedAndProject):
+    one pass over the corpus, no full count() job, and deterministic across
+    runs AND partition layouts — so "same corpus + seed => identical vocab"
+    holds cluster-to-cluster, not just within a run (sample(frac).limit(n)
+    was layout-dependent)."""
     sample = (
-        docs.select(text_col).sample(fraction=frac, seed=seed).limit(sample_size)
+        docs.select(text_col)
+        .orderBy(F.xxhash64(F.lit(seed), text_col))
+        .limit(sample_size)
     ).toPandas()
     return train_bpe(list(sample[text_col]), n_merges=n_merges)
 

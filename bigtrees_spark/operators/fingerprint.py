@@ -62,10 +62,18 @@ def fingerprint_docs(
     df = pages
     # small inputs arrive as 1-2 parquet splits: the Arrow UDF stage would run
     # on that many tasks regardless of cores.  Repartition up ONLY when the
-    # input has fewer splits than the cluster has slots (at real scale,
-    # splits >> slots and this is a no-op — no shuffle added).
+    # input has fewer splits than the cluster has slots.  At real scale
+    # inputFiles() alone decides (files >> slots -> no-op, and no plan->RDD
+    # conversion); only few-file inputs fall through to the precise RDD
+    # partition probe — inputFiles() can't see an upstream repartition(), and
+    # repartitioning an already-wide derived frame again would add a full
+    # shuffle of the corpus.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans (streams, local relations)
+        n_files = 0
+    if n_files < parallelism and df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
     if extract_from_html:
         extract = make_extract_checked_udf(cfg.max_html_bytes)

@@ -44,13 +44,39 @@ MEDIA_META_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL decoder stub — no image libraries in this container.
-    Swap in PIL/libvips here on a real cluster."""
-    raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "environment; use fake_decode for deterministic tests"
-    )
+def decode_image(payload: bytes, feat_dim: int = 8) -> tuple[int, int, np.ndarray]:
+    """REAL decoder, import-guarded: decodes with PIL when it exists on the
+    executor (width, height, `feat_dim`-bin grayscale histogram as the
+    feature), else raises NotImplementedError — this container ships no image
+    libraries, so tests exercise the fake path and the PIL branch is gated
+    behind skip-if-absent (tests/test_multimodal.py)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover — PIL absent here
+        raise NotImplementedError(
+            "image decoding requires an image library not present in this "
+            "environment; use fake_decode for deterministic tests"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    w, h = img.size
+    arr = np.asarray(img, dtype=np.float32)
+    hist, _ = np.histogram(arr, bins=feat_dim, range=(0.0, 256.0))
+    feat = (hist / max(arr.size, 1)).astype(np.float32)
+    return w, h, feat
+
+
+def _resize_real(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """PIL resample + PNG re-encode (the real `resize_images` kernel)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).resize((target_w, target_h))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def fake_decode(payload: bytes, feat_dim: int = 8) -> tuple[int, int, np.ndarray]:
@@ -154,15 +180,19 @@ def resize_images(
         for pdf in batches:
             urls, payloads = [], []
             for u, b in zip(pdf["url"], pdf[payload_col]):
-                decoder(bytes(b or b""))  # stub swap point: decode+resample
-                # fake "re-encode": deterministic bytes keyed by (content,
-                # target dims) — stable across executors/retries
-                key = hashlib.blake2b(
-                    (bytes(b or b"")) + f"|{target_w}x{target_h}".encode(),
-                    digest_size=32,
-                ).digest()
+                raw = bytes(b or b"")
+                if use_fake_decoder:
+                    decoder(raw)  # keep the decode call in the loop shape
+                    # fake "re-encode": deterministic bytes keyed by (content,
+                    # target dims) — stable across executors/retries
+                    key = hashlib.blake2b(
+                        raw + f"|{target_w}x{target_h}".encode(), digest_size=32
+                    ).digest()
+                    out_bytes = key * max(1, (target_w * target_h) // 32)
+                else:
+                    out_bytes = _resize_real(raw, target_w, target_h)
                 urls.append(u)
-                payloads.append(key * max(1, (target_w * target_h) // 32))
+                payloads.append(out_bytes)
             yield pd.DataFrame(
                 {
                     "url": urls,

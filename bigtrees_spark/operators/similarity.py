@@ -101,27 +101,36 @@ def lsh_neardup_pairs(
     n_bits: int = 128,
     seed: int = 42,
     max_bucket: int = 500,
+    ctx=None,
 ) -> DataFrame:
     """Embedding near-dup pairs: hyperplane-LSH buckets -> within-bucket pairs
-    -> exact cosine verify.  Returns (id_l, id_r, cosine >= threshold)."""
-    bands_udf = make_hyperplane_udf(dim, n_bits, seed)
-    b = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("band_key", F.explode(bands_udf(F.col("v"))))
+    -> exact cosine verify.  Returns (id_l, id_r, cosine >= threshold).
 
-    w = Window.partitionBy("band_key")
-    sized = b.withColumn("bsz", F.count("*").over(w)).where(F.col("bsz") <= max_bucket)
-    pairs = (
-        sized.alias("l")
-        .join(sized.alias("r"), "band_key")
-        .where(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_l"),
-            F.col("r.id").alias("id_r"),
-            F.col("l.v").alias("v_l"),
-            F.col("r.v").alias("v_r"),
-        )
-        .dropDuplicates(["id_l", "id_r"])
+    Pairing goes through the SAME skew-capped core as the text LSH and SimHash
+    paths (lsh._skewcapped_pairs): buckets <= max_bucket pair all-ways inside
+    a JVM combination expression (no self-join); hot buckets — e.g. many
+    near-zero or duplicated embeddings collapsing onto one hyperplane cell —
+    degrade to rank-adjacent pairs instead of being dropped, so a monster
+    bucket stays CONNECTED for any downstream clustering and the cap firing
+    is recorded in the skew-metrics table (skew_name 'lsh_ann') when a
+    runmeta.RunContext is passed as ctx.  The item is struct(id, v), so both
+    vectors ride out of the pairing stage and the cosine verify needs no join
+    back to the corpus.
+    """
+    from bigtrees_spark.operators import lsh
+
+    bands_udf = make_hyperplane_udf(dim, n_bits, seed)
+    items = vectors.select(
+        F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).alias("item"),
+        F.explode(bands_udf(F.col(vec_col))).alias("band_key"),
+    )
+    pairs = lsh._skewcapped_pairs(
+        items, ["band_key"], max_bucket, ctx=ctx, skew_name="lsh_ann"
+    ).select(
+        F.col("l.id").alias("id_l"),
+        F.col("r.id").alias("id_r"),
+        F.col("l.v").alias("v_l"),
+        F.col("r.v").alias("v_r"),
     )
     return (
         pairs.withColumn("cosine", _cosine(F.col("v_l"), F.col("v_r")))
@@ -146,11 +155,16 @@ def fit_ivf_centroids(
     A sample fit is the canonical IVF recipe (FAISS trains on a subset too):
     at 10^12 vectors the quantizer sees a few 10^4 rows once, then ships to
     executors inside the UDF closure (n_centroids x dim floats — KBs to MBs).
+
+    Sampling is a seed-keyed hash-ordered top-N (TakeOrderedAndProject): ONE
+    pass, no full-corpus count() job, and deterministic across runs and
+    partition layouts — sample(frac).limit(n) was layout-dependent and needed
+    a prior count() to size the fraction.
     """
-    n = corpus.count()
-    frac = min(1.0, sample_size / max(n, 1))
     sample = (
-        corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_size)
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.lit(seed), vec_col))
+        .limit(sample_size)
     ).toPandas()
     rng = np.random.default_rng(seed)
     if len(sample) == 0:

@@ -105,33 +105,78 @@ def near_dedup_pipeline(
     labels = cc.connected_components(edges.select("url_l", "url_r"))
 
     # expand rep labels to every member of the rep's exact-dup group, then
-    # relabel cluster_id = min(url) over the FULL membership for determinism
+    # relabel cluster_id = min(url) over the FULL membership for determinism.
+    # groupBy+join, NOT min().over(partitionBy(rep_cluster)): a boilerplate
+    # mega-component (exactly the skew the LSH caps defend against upstream)
+    # would otherwise put its whole membership into ONE window partition /
+    # one task; the agg form partial-aggregates map-side and the join spreads
+    # across tasks — same shuffle count, no per-partition buffering.
     rep_labels = winners.select("url", "sha256").join(labels, "url", "left").select(
         F.col("sha256"), F.coalesce(F.col("cluster_id"), F.col("url")).alias("rep_cluster")
     )
     member_labels = clean_fp.select("url", "sha256").join(rep_labels, "sha256").select(
         "url", "rep_cluster"
     )
-    w = Window.partitionBy("rep_cluster")
-    clusters = member_labels.select(
-        "url", F.min("url").over(w).alias("cluster_id")
+    min_url = member_labels.groupBy("rep_cluster").agg(F.min("url").alias("cluster_id"))
+    clusters = member_labels.join(min_url, "rep_cluster").select(
+        "url", "cluster_id"
     ).unionByName(err_fp.select("url", F.col("url").alias("cluster_id")))
 
-    report = (
-        clusters.join(docs_fp.select("url", "nbytes"), "url")
-        .groupBy("cluster_id")
+    report = cluster_report(clusters, docs_fp.select("url", "nbytes"))
+
+    return DedupResult(docs_fp=docs_fp, edges=edges, clusters=clusters, report=report)
+
+
+# bounded member preview per report row — the reference prints bounded group
+# headers for the same reason (DupeMap.hs:168-201); n_members stays exact
+REPORT_MEMBERS_CAP = 100
+_MEMBER_SALTS = 64  # partial-agg fanout bounding every member buffer
+
+
+def cluster_report(
+    clusters: DataFrame,
+    doc_sizes: DataFrame,
+    members_cap: int = REPORT_MEMBERS_CAP,
+) -> DataFrame:
+    """clusters(url, cluster_id) + doc_sizes(url, nbytes) -> savings-ordered
+    dupes report with a CAPPED members preview.
+
+    Skew design: a mega-cluster must not materialize its full membership in
+    one aggregation buffer or one output row.  Stats (count/sum/max) partial-
+    aggregate map-side for free; the member list is built two-level — first
+    the `members_cap` smallest urls per (cluster, salt) bucket, then the cap
+    smallest of those — so every buffer holds <= _MEMBER_SALTS * members_cap
+    urls regardless of cluster size.  `n_members` remains the exact count.
+    """
+    part = (
+        clusters.join(doc_sizes, "url")
+        .withColumn("_s", F.pmod(F.xxhash64("url"), F.lit(_MEMBER_SALTS)))
+        .groupBy("cluster_id", "_s")
         .agg(
-            F.count("*").alias("n_members"),
-            F.sum("nbytes").alias("n_bytes_total"),
-            F.max("nbytes").alias("n_bytes_kept"),
-            F.sort_array(F.collect_list("url")).alias("members"),
+            F.count("*").alias("n"),
+            F.sum("nbytes").alias("b_total"),
+            F.max("nbytes").alias("b_max"),
+            F.slice(F.sort_array(F.collect_list("url")), 1, members_cap).alias("m"),
+        )
+    )
+    return (
+        part.groupBy("cluster_id")
+        .agg(
+            F.sum("n").alias("n_members"),
+            F.sum("b_total").alias("n_bytes_total"),
+            F.max("b_max").alias("n_bytes_kept"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("m"))), 1, members_cap
+            ).alias("members"),
         )
         .where(F.col("n_members") > 1)
         .withColumn("savings", F.col("n_bytes_total") - F.col("n_bytes_kept"))
+        .select(
+            "cluster_id", "n_members", "n_bytes_total", "n_bytes_kept",
+            "members", "savings",
+        )
         .orderBy(F.desc("savings"), F.asc("cluster_id"))
     )
-
-    return DedupResult(docs_fp=docs_fp, edges=edges, clusters=clusters, report=report)
 
 
 def cluster_implied_pairs(clusters: DataFrame) -> DataFrame:

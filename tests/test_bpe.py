@@ -88,6 +88,19 @@ def test_spark_udf_matches_driver_encoder(spark):
     assert out["u2"] == 0 and out["u3"] == 0
 
 
+def test_fit_bpe_sample_layout_invariant(spark):
+    """fit_bpe's training sample is hash-ordered, so the learned merges must
+    be identical across partition layouts AND runs — not just within one run
+    (ADVICE r02: sample().limit() was layout-dependent).  sample_size < corpus
+    makes the test sensitive to WHICH rows are picked."""
+    df = spark.range(300).select(
+        F.concat(F.lit("text body word variant "), F.col("id").cast("string")).alias("text")
+    )
+    m1 = fit_bpe(df, sample_size=50, n_merges=40)
+    m2 = fit_bpe(df.repartition(11).sortWithinPartitions(F.desc("text")), sample_size=50, n_merges=40)
+    assert m1 == m2 and len(m1) > 0
+
+
 def test_udf_deterministic_across_partitioning(spark):
     df = spark.range(200).select(
         F.format_string("d%03d", "id").alias("url"),

@@ -82,3 +82,55 @@ def test_resize_images_schema_dims_and_determinism(media):
     assert {r.url: bytes(r.payload) for r in rows} == again
     other = {r.url: bytes(r.payload) for r in resize_images(media, 64, 64).collect()}
     assert all(other[u] != p for u, p in again.items())
+
+
+def test_decode_image_guard_without_pil():
+    """No PIL in this container: the real decoder must fail loudly as a
+    declared environment stub, never silently fake."""
+    import pytest
+
+    from bigtrees_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: covered by test_real_decoder_with_pil")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
+
+
+def test_real_decoder_with_pil(spark):
+    """Where PIL exists, use_fake_decoder=False runs the REAL decode/resize
+    kernels end-to-end through the same mapInPandas plumbing (closes SURVEY
+    §2.11e wherever the environment allows; skipped in containers without
+    image libraries)."""
+    import io
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from bigtrees_spark.operators.multimodal import extract_media_features, resize_images
+
+    def png(w, h, val):
+        img = Image.new("L", (w, h), val)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [("img/a", png(10, 6, 0)), ("img/b", png(4, 8, 255))]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    feats = {r.url: r for r in extract_media_features(df, use_fake_decoder=False).collect()}
+    assert (feats["img/a"].width, feats["img/a"].height) == (10, 6)
+    assert (feats["img/b"].width, feats["img/b"].height) == (4, 8)
+    # uniform-0 image: all mass in the first histogram bin
+    assert feats["img/a"].feature[0] == pytest.approx(1.0)
+    assert feats["img/b"].feature[-1] == pytest.approx(1.0)
+
+    resized = resize_images(df, 5, 3, use_fake_decoder=False).collect()
+    for r in resized:
+        img = Image.open(io.BytesIO(bytes(r.payload)))
+        assert img.size == (5, 3)

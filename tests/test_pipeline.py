@@ -167,6 +167,38 @@ def test_canonical_docs_one_row_per_digest_with_identity_ties(spark):
     assert got2.count() == 2
 
 
+def test_report_bounded_members_on_mega_cluster(spark):
+    """A planted 10k-member exact-dup cluster must complete with a BOUNDED
+    members preview (REPORT_MEMBERS_CAP) while n_members stays exact — the
+    mega-cluster finalization must not funnel the whole membership into one
+    window partition or one unbounded output array (VERDICT r02 #2)."""
+    import datetime
+
+    from bigtrees_spark.plans.pipeline import REPORT_MEMBERS_CAP
+
+    ts = datetime.datetime(2025, 1, 1)
+    n = 10_000
+    rows = [
+        (f"mega/{i:05d}", ts, None, "identical boilerplate body text", "en")
+        for i in range(n)
+    ]
+    pages_big = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    res = near_dedup_pipeline(pages_big, persist=False)
+    rep = res.report.collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r.n_members == n                      # exact count survives the cap
+    assert len(r.members) == REPORT_MEMBERS_CAP  # preview bounded
+    assert r.members == sorted(r.members)
+    assert r.members[0] == "mega/00000"
+    assert r.cluster_id == "mega/00000"
+    assert r.savings == r.n_bytes_total - r.n_bytes_kept
+    # every member carries the min-url cluster label
+    assert res.clusters.where(F.col("cluster_id") != "mega/00000").count() == 0
+
+
 def test_pipeline_from_html_matches_text_path(spark, pages, result):
     """input_hint real-input path: pipeline fed ONLY html bytes (text derived
     by the pinned extractor) yields identical clusters to the text-column

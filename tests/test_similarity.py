@@ -67,6 +67,74 @@ def test_lsh_neardup_finds_planted(vec_df):
     assert found >= 9  # LSH recall on eps-perturbed pairs
 
 
+def test_lsh_neardup_hot_bucket_keeps_connectivity(spark):
+    """A hyperplane bucket larger than max_bucket (here: 30 copies of the
+    SAME vector, every band collides) must NOT lose all its pairs — the old
+    behavior filtered over-cap buckets out entirely; the shared skew-capped
+    core rank-chains them so identical vectors stay connected."""
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(DIM).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [
+        (r.id_l, r.id_r)
+        for r in lsh_neardup_pairs(
+            df, cosine_threshold=0.99, dim=DIM, max_bucket=5
+        ).collect()
+    ]
+    assert len(got) > 0, "over-cap bucket must not lose all pairs"
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got:
+        parent[find(a)] = find(b)
+    roots = {find(i) for i in range(30)}
+    assert len(roots) == 1, f"identical vectors split across {len(roots)} components"
+
+
+def test_lsh_neardup_records_skew_metrics(spark, tmp_path):
+    """Cap fires land in the skew-metrics table under stage 'lsh_ann', like
+    every other capped pairing stage (SURVEY §7: skew measured, not assumed)."""
+    from bigtrees_spark.plans.runmeta import RunContext
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(DIM).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ctx = RunContext.new(spark, str(tmp_path / "metrics"))
+    lsh_neardup_pairs(df, cosine_threshold=0.99, dim=DIM, max_bucket=5, ctx=ctx).count()
+    skew = {r.stage: r for r in ctx.read_skew().collect()}
+    assert "lsh_ann" in skew
+    s = skew["lsh_ann"]
+    assert s.cap == 5
+    assert s.n_overcap > 0, "the cap fired; metrics must say so"
+    assert s.max_bucket >= 30
+
+
+def test_lsh_neardup_small_buckets_unchanged_by_core_swap(spark, vec_df):
+    """With a huge cap the shared-core path must equal the brute-force
+    cosine-threshold pairs RESTRICTED to co-bucketed candidates — on this
+    fixture the planted twins all co-bucket, so the planted set is exact."""
+    pairs = {
+        (r.id_l, r.id_r)
+        for r in lsh_neardup_pairs(
+            vec_df, cosine_threshold=0.95, dim=DIM, max_bucket=10**6
+        ).collect()
+    }
+    planted = {(i, 100 + i) for i in range(10)}
+    assert len(pairs & planted) >= 9
+    # every returned pair is l < r exactly once
+    assert all(a < b for a, b in pairs)
+    assert len(pairs) == len({tuple(sorted(p)) for p in pairs})
+
+
 def _ivf_recall(exact, approx) -> float:
     exact_sets = {}
     for r in exact:
@@ -111,6 +179,12 @@ def test_fit_centroids_are_unit_norm_and_deterministic(spark, vec_df):
     assert c1.shape == (8, DIM)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
     assert np.array_equal(c1, c2)
+    # layout invariance: the hash-ordered sample must not depend on
+    # partitioning/row order (ADVICE r02: sample().limit() was layout-bound)
+    c3 = fit_ivf_centroids(
+        vec_df.repartition(13).sortWithinPartitions("vec_id"), DIM, n_centroids=8, seed=7
+    )
+    assert np.array_equal(c1, c3)
 
 
 def test_ivf_planted_neardups_found(spark, vec_df):
