@@ -426,6 +426,69 @@ def q_winnow_counts(spark, sf_dir):
     return winnow_table(d).groupBy("url").agg(F.count("*").alias("n_fps"))
 
 
+def q_simhash_twins(spark, sf_dir):
+    """Closed-form SimHash oracle (VERDICT r02 #4a): byte-identical twin docs
+    MUST produce identical simhash fingerprints (the fingerprint is a pure
+    function of the text), and n_tokens is SQL-derivable (tokenize is pinned
+    to [a-z0-9]+ on lowercased text, kernels.py:30-33).  So this row moves
+    the SimHash stage from trust-the-tests to an all-green oracle row: any
+    nondeterminism across executors/batches, or a tokenizer drift, flips
+    twin_same_simhash / n_tokens and fails the hash compare."""
+    from bigtrees_spark.operators.fingerprint import fingerprint_docs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.select(_url().alias("url"), "text")
+    twin = d.select(F.format_string("t%08d", F.col("doc_id")).alias("url"), "text")
+    fp = fingerprint_docs(base.unionByName(twin))
+    fb = fp.where(F.col("url").startswith("d")).select(
+        F.substring("url", 2, 8).alias("id"),
+        F.col("simhash").alias("sb"),
+        "n_tokens",
+    )
+    ft = fp.where(F.col("url").startswith("t")).select(
+        F.substring("url", 2, 8).alias("id"), F.col("simhash").alias("st")
+    )
+    return fb.join(ft, "id").select(
+        F.concat(F.lit("d"), F.col("id")).alias("url"),
+        "n_tokens",
+        (F.col("sb") == F.col("st")).alias("twin_same_simhash"),
+    )
+
+
+def q_winnow_density(spark, sf_dir):
+    """Closed-form winnowing density oracle (VERDICT r02 #4b): the SIGMOD'03
+    guarantee bounds the selected-fingerprint count per doc as a pure function
+    of its byte length (config.py:76-79: gram=64, window=193):
+      * bytes in [gram, window+gram-1]: n_hashes <= window -> EXACTLY 1 fp
+        (kernels.winnow_fingerprints short-window branch);
+      * longer docs: every full window of `window` consecutive hash positions
+        contains a selection and one position serves at most `window` windows,
+        so n_fps >= ceil((n_hashes - window + 1) / window).
+    The oracle says TRUE for every doc with >= gram bytes; any dropped
+    fingerprint or off-by-one in the winnow kernel flips a row to FALSE."""
+    from bigtrees_spark.config import DEFAULT_CONFIG as cfg
+    from bigtrees_spark.operators.substring import winnow_table
+
+    g, w = cfg.winnow_gram, cfg.winnow_window
+    d = _docs(spark, sf_dir).select(
+        _url().alias("url"), "text", F.octet_length("text").alias("nbytes")
+    )
+    counts = (
+        winnow_table(d.select("url", "text"))
+        .groupBy("url")
+        .agg(F.count("*").alias("n_fps"))
+    )
+    n_hashes = F.col("nbytes") - F.lit(g) + F.lit(1)
+    ok = F.when(n_hashes <= w, F.col("n_fps") == 1).otherwise(
+        F.col("n_fps") >= F.ceil((n_hashes - F.lit(w) + F.lit(1)) / F.lit(w))
+    )
+    return (
+        d.where(F.col("nbytes") >= g)
+        .join(counts, "url", "left")
+        .select("url", F.coalesce(ok, F.lit(False)).alias("density_ok"))
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing over documents' text bytes as a stand-in binary
     payload.  The metadata columns (n_bytes, content_sha256) are pure
@@ -609,7 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
         "minhash_twin_verdicts": q_minhash_twin_verdicts,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_twins": q_simhash_twins,
         "winnow_counts": q_winnow_counts,
+        "winnow_density": q_winnow_density,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
@@ -883,6 +948,16 @@ FROM documents
 SELECT printf('d%08d', doc_id) AS url,
        len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 5 AS twin_joined
 FROM documents
+""",
+        "simhash_twins": """
+SELECT printf('d%08d', doc_id) AS url,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::INT AS n_tokens,
+       TRUE AS twin_same_simhash
+FROM documents
+""",
+        "winnow_density": """
+SELECT printf('d%08d', doc_id) AS url, TRUE AS density_ok
+FROM documents WHERE strlen(text) >= 64
 """,
         "url_scope": """
 SELECT printf('http://site%d.com/sec%d/d%08d?a=%d&b=%d',
