@@ -214,19 +214,21 @@ def main() -> None:
 
         near_dedup_pipeline(warm, persist=False).clusters.count()
 
+        # min-of-reps over ALTERNATING full-suite legs (the scaling_minof
+        # pattern): the sandbox host is multi-tenant (load 2-20 from
+        # neighbors), so a noise burst hits one leg of every query instead of
+        # one query's only observation; the artifact carries both legs AND the
+        # min so the recorded number is the noise-controlled one.
         reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-        for name, fn in QUERIES.items():
-            best = None
-            # min-of-reps: the sandbox host is multi-tenant (load 2-20 from
-            # neighbors); the minimum is the least-contended observation
-            for _ in range(reps if name == "near_dedup_e2e" else 1):
+        legs: dict[str, list[float]] = {name: [] for name in QUERIES}
+        for _ in range(reps):
+            for name, fn in QUERIES.items():
                 t0 = time.time()
                 out = fn(spark, sf_dir)
-                dt = round(time.time() - t0, 3)
-                best = dt if best is None else min(best, dt)
-            timings[name] = best
-            if name == "near_dedup_e2e":
-                n_docs = out
+                legs[name].append(round(time.time() - t0, 3))
+                if name == "near_dedup_e2e":
+                    n_docs = out
+        timings = {name: min(ts) for name, ts in legs.items()}
     finally:
         spark.stop()
 
@@ -236,6 +238,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "legs": legs,
         "sf": sf,
         "docs": n_docs,
         "throughput_docs_per_sec": round(n_docs / timings["near_dedup_e2e"], 1)

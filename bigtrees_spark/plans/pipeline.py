@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
 from bigtrees_spark.operators import cc, lsh
@@ -72,19 +72,18 @@ def near_dedup_pipeline(
         ctx.record_partition_balance("docs_fp", docs_fp.select("url"))
 
     # exact-dup collapse on a SKINNY projection only: the winner-per-digest
-    # window never sees text/minhash/shingles payloads, and downstream
-    # stages pull exactly the columns they need from the persisted docs_fp
-    # by url — wide rows never ride a shuffle anywhere in this plan
-    # (dedup.canonical_docs remains the materialized-reps operator for
-    # callers that want full rows)
-    order = [c for c in ("warc_ts", "url") if c in clean_fp.columns]
-    w_rep = Window.partitionBy("sha256").orderBy(*[F.asc(c) for c in order])
-    winners = (
-        clean_fp.select("sha256", *order)
-        .withColumn("_rn", F.row_number().over(w_rep))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # agg never sees text/minhash/shingles payloads, and downstream stages
+    # pull exactly the columns they need from the persisted docs_fp by url —
+    # wide rows never ride a shuffle anywhere in this plan.
+    #
+    # The rep is the MIN-URL member of its group (groupBy min: partial-agg
+    # map-side, no window sort).  Which member represents is pairing-
+    # irrelevant — identical text means identical bands/simhash — and
+    # min-url reps make the CC label (min over rep urls) equal min over the
+    # FULL membership by construction, so no relabel pass is needed after
+    # member expansion.  (dedup.canonical_docs remains the user-facing
+    # keep-earliest-copy operator with (warc_ts, url) semantics.)
+    winners = clean_fp.groupBy("sha256").agg(F.min("url").alias("url"))
     if persist:
         winners = winners.persist()
     rep_urls = winners.select("url")
@@ -104,21 +103,15 @@ def near_dedup_pipeline(
 
     labels = cc.connected_components(edges.select("url_l", "url_r"))
 
-    # expand rep labels to every member of the rep's exact-dup group, then
-    # relabel cluster_id = min(url) over the FULL membership for determinism.
-    # groupBy+join, NOT min().over(partitionBy(rep_cluster)): a boilerplate
-    # mega-component (exactly the skew the LSH caps defend against upstream)
-    # would otherwise put its whole membership into ONE window partition /
-    # one task; the agg form partial-aggregates map-side and the join spreads
-    # across tasks — same shuffle count, no per-partition buffering.
-    rep_labels = winners.select("url", "sha256").join(labels, "url", "left").select(
-        F.col("sha256"), F.coalesce(F.col("cluster_id"), F.col("url")).alias("rep_cluster")
+    # expand rep labels to every member of the rep's exact-dup group.  The
+    # CC label is min over rep urls; with min-url reps that IS min over the
+    # full membership, so cluster_id needs no further relabel — the old
+    # min().over(partitionBy(cluster)) window (a single-task funnel for a
+    # boilerplate mega-component) is gone entirely, one shuffle cheaper.
+    rep_labels = winners.join(labels, "url", "left").select(
+        "sha256", F.coalesce(F.col("cluster_id"), F.col("url")).alias("cluster_id")
     )
-    member_labels = clean_fp.select("url", "sha256").join(rep_labels, "sha256").select(
-        "url", "rep_cluster"
-    )
-    min_url = member_labels.groupBy("rep_cluster").agg(F.min("url").alias("cluster_id"))
-    clusters = member_labels.join(min_url, "rep_cluster").select(
+    clusters = clean_fp.select("url", "sha256").join(rep_labels, "sha256").select(
         "url", "cluster_id"
     ).unionByName(err_fp.select("url", F.col("url").alias("cluster_id")))
 
