@@ -74,7 +74,10 @@ DRIVER_CC_MAX_EDGES = int(os.environ.get("SPARK_GRAFT_DRIVER_CC_MAX_EDGES", 2_00
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, driver_threshold: int | None = None
+    edges: DataFrame,
+    max_iter: int = 25,
+    driver_threshold: int | None = None,
+    pre_contract: bool = True,
 ) -> DataFrame:
     """edges(url_l, url_r) -> labels(url, cluster_id) for every node that
     appears in an edge.  cluster_id = min(url) of the component.
@@ -87,6 +90,18 @@ def connected_components(
     the distributed path).  At 10^12-doc scale the distributed path is the
     one that runs; the driver path keeps incremental/small-partition runs
     from paying 10+ scheduler round-trips for kilobyte graphs.
+
+    pre_contract (distributed path only): one min-label contraction pass
+    before the star loop — m(u) = min(N(u) u {u}), every edge rewritten to
+    (m(u), m(v)), self-loops dropped, labels composed back through m at the
+    end.  Near-dup graphs are dominated by tiny components (twin pairs,
+    short chains), which the contraction resolves ENTIRELY, so the star
+    loop only sees the residual multi-hop structure (measured on the
+    1.28M-doc corpus: 380k edges -> 514 residual nodes, identical labels,
+    2.1x faster end-to-end; tools/cc_rounds_experiment.py, BASELINE.md).
+    Correctness: m(u) is in u's component, contraction preserves component
+    structure, and the component's global min maps to itself — so
+    inner-label(m(u)) IS min(component(u)).
     """
     if driver_threshold is None:
         driver_threshold = DRIVER_CC_MAX_EDGES
@@ -98,6 +113,26 @@ def connected_components(
     )
     if e.count() <= driver_threshold:
         return _driver_cc(e)
+    if pre_contract:
+        sym = _symmetric(e)
+        m = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("u", "mv").alias("m")).localCheckpoint()
+        contracted = (
+            e.join(m.withColumnsRenamed({"u": "u0", "m": "mu"}), F.col("u") == F.col("u0"))
+            .join(m.withColumnsRenamed({"u": "v0", "m": "mv2"}), F.col("v") == F.col("v0"))
+            .select(F.col("mu").alias("url_l"), F.col("mv2").alias("url_r"))
+            .where(F.col("url_l") != F.col("url_r"))
+        )
+        # recurse once (pre_contract=False): the residual graph re-enters the
+        # adaptive split, so a fully-collapsed graph answers via the driver
+        # path and a still-huge one runs the star loop
+        inner = connected_components(
+            contracted, max_iter, driver_threshold, pre_contract=False
+        )
+        return m.join(inner.withColumnsRenamed({"url": "m"}), "m", "left").select(
+            F.col("u").alias("url"),
+            F.coalesce(F.col("cluster_id"), F.col("m")).alias("cluster_id"),
+        )
     prev = _checksum(e)
     for _ in range(max_iter):
         # ONE materialization per round: large-star -> small-star fuse into a

@@ -19,18 +19,37 @@ def _random_edges(n_nodes: int, n_edges: int, seed: int):
 
 
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 50, 30), (2, 200, 150), (3, 500, 700)])
-@pytest.mark.parametrize("driver_threshold", [0, 10**9])  # distributed / driver paths
-def test_cc_matches_union_find(spark, seed, n_nodes, n_edges, driver_threshold):
+@pytest.mark.parametrize(
+    "driver_threshold,pre_contract",
+    [(0, True), (0, False), (10**9, True)],
+)  # distributed w/ and w/o the contraction seed; driver path
+def test_cc_matches_union_find(spark, seed, n_nodes, n_edges, driver_threshold, pre_contract):
     edges = _random_edges(n_nodes, n_edges, seed)
     df = spark.createDataFrame(edges, "url_l string, url_r string")
     got = {
         (r.url, r.cluster_id)
-        for r in connected_components(df, driver_threshold=driver_threshold).collect()
+        for r in connected_components(
+            df, driver_threshold=driver_threshold, pre_contract=pre_contract
+        ).collect()
     }
 
     truth_df = oracle.clusters_from_pairs({(min(a, b), max(a, b)) for a, b in edges})
     truth = {(r.url, r.cluster_id) for r in truth_df.itertuples(index=False)}
     assert got == truth
+
+
+def test_cc_pre_contract_fully_collapsing_graph(spark):
+    """Disjoint twin pairs: the contraction resolves EVERY component, the
+    residual graph is empty, and labels must still cover all nodes via the
+    composition join (the defect the first experiment leg exposed)."""
+    pairs = [(f"a{i:03d}", f"b{i:03d}") for i in range(50)]
+    df = spark.createDataFrame(pairs, "url_l string, url_r string")
+    got = {
+        (r.url, r.cluster_id)
+        for r in connected_components(df, driver_threshold=0, pre_contract=True).collect()
+    }
+    expect = {(a, a) for a, _ in pairs} | {(b, a) for a, b in pairs}
+    assert got == expect
 
 
 def test_cc_chain_and_star(spark):
