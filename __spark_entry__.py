@@ -623,6 +623,27 @@ def q_url_scope(spark, sf_dir):
                         "http://site1.com/sec2")
 
 
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation slice — the composite a 100 TB
+    pretraining pipeline actually runs: quality gate -> exact-dup collapse
+    (keep the min-url copy per content digest, the pipeline's rep rule) ->
+    token accounting on the surviving canonical docs.  Every stage is a pure
+    function of the text, so the whole composite is SQL-expressible and the
+    oracle checks stage INTERACTIONS (e.g. dup collapse running after, not
+    before, the quality gate), not just each operator alone."""
+    from bigtrees_spark.operators.textstats import with_quality, with_token_counts
+
+    c = _corpus_with_exact_dups(spark, sf_dir).select(
+        _url().alias("url"), "text"
+    )
+    qual = with_quality(c).where("quality_ok").select("url", "text")
+    canon_urls = qual.groupBy(F.sha2("text", 256).alias("sha256")).agg(
+        F.min("url").alias("url")
+    )
+    canon = qual.join(canon_urls.select("url"), "url", "left_semi")
+    return with_token_counts(canon).select("url", "n_words", "n_tokens_bpe")
+
+
 def q_error_rows(spark, sf_dir):
     """Err-node semantics (reference HashTree/Build.hs:109-118: per-node
     failures become Err rows, never aborted scans).  Oversized html trips the
@@ -682,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dupes": q_prefix_dupes,
         "simhash_edges": q_simhash_edges,
         "ivf_topk": q_ivf_topk,
+        "corpus_curation": q_corpus_curation,
         "error_rows": q_error_rows,
         "url_scope": q_url_scope,
     }
@@ -964,6 +986,32 @@ SELECT printf('http://site%d.com/sec%d/d%08d?a=%d&b=%d',
               doc_id % 7, doc_id % 5, doc_id, doc_id % 3, doc_id % 4) AS url
 FROM documents
 WHERE doc_id % 7 = 1 AND doc_id % 5 = 2 AND doc_id % 11 <> 3
+""",
+        "corpus_curation": f"""
+WITH {_CORPUS_DUPS},
+u AS (SELECT printf('d%08d', doc_id) AS url, text FROM corpus),
+q AS (
+  SELECT url, text,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+  FROM u
+), ok AS (
+  SELECT url, text FROM q
+  WHERE n_chars >= 10
+    AND n_chars::DOUBLE / greatest(n_words, 1) BETWEEN 2.0 AND 12.0
+    AND digits::DOUBLE / greatest(n_chars, 1) <= 0.3
+), canon AS (
+  SELECT min(url) AS url FROM ok GROUP BY sha256(text)
+)
+SELECT ok.url,
+       CASE WHEN trim(ok.text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(ok.text), '\\s+')) END AS n_words,
+       CASE WHEN trim(ok.text) = '' THEN 0
+            ELSE len(regexp_extract_all(ok.text,
+                 '[A-Za-z]{{1,4}}|[0-9]+|[^\\sA-Za-z0-9]')) END AS n_tokens_bpe
+FROM ok JOIN canon ON ok.url = canon.url
 """,
         "error_rows": """
 SELECT lang,
