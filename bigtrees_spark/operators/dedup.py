@@ -15,7 +15,7 @@ materialization at 100 TB scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def exact_dupe_groups(docs_fp: DataFrame, key: str = "sha256") -> DataFrame:
@@ -52,26 +52,24 @@ def canonical_docs(docs_fp: DataFrame, key: str = "sha256") -> DataFrame:
     This is the reference's 'keep one copy' decision generalized, and the
     input reduction for the near-dup stage (SURVEY.md §7: dedup exact-equal
     docs BEFORE pairing so boilerplate-heavy exact groups never explode the
-    LSH pair join).  Window + row_number — one shuffle on the digest.
+    LSH pair join).
+
+    The winner rank is min(struct(warc_ts, url)) — struct min orders
+    lexicographically by field, i.e. exactly earliest-(warc_ts, url) — as a
+    plain AGGREGATE on a skinny projection: partial-aggregates map-side and
+    never funnels a mega exact-dup group (boilerplate copied 10^9 times)
+    through one window-sort task the way row_number().over(partitionBy(key))
+    would.  The wide rows come back via semi-join on (key, *order).
     """
     order = [c for c in ("warc_ts", "url") if c in docs_fp.columns]
     if not order:
-        w = Window.partitionBy(key).orderBy(key)
-        return (
-            docs_fp.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    # rank on a SKINNY projection, then semi-join the wide rows back: the
-    # window's shuffle+sort buffers only (key, order) columns instead of
-    # text+minhash+bands+shingles payloads (urls are unique, so the
-    # equi-join on key+order recovers exactly the rank-1 rows)
-    w = Window.partitionBy(key).orderBy(*[F.asc(c) for c in order])
+        # no identity columns to rank on: any single row per digest satisfies
+        # the contract (rows tie on every ranking column we know about)
+        return docs_fp.dropDuplicates([key])
     winners = (
-        docs_fp.select(key, *order)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        docs_fp.groupBy(key)
+        .agg(F.min(F.struct(*[F.col(c) for c in order])).alias("_w"))
+        .select(key, *[F.col(f"_w.{c}").alias(c) for c in order])
     )
     # fully duplicated identity rows (same key AND order values — common in
     # re-crawled WARC dumps) would ALL survive the semi-join; dedupe AFTER it
@@ -141,8 +139,10 @@ def simplify_dupes(doc_groups: DataFrame, prefix_groups: DataFrame) -> DataFrame
 def exact_cluster_assignments(docs_fp: DataFrame, key: str = "sha256") -> DataFrame:
     """clusters(url, cluster_id) for exact duplicates only: cluster_id =
     min(url) within the digest group (deterministic canonical label);
-    singletons are their own cluster."""
-    w = Window.partitionBy(key)
-    return docs_fp.select(
-        "url", F.min("url").over(w).alias("cluster_id")
-    )
+    singletons are their own cluster.
+
+    groupBy+join, not min().over(partitionBy(key)): the agg partial-
+    aggregates map-side and AQE broadcasts the small per-digest min table,
+    so a mega exact-dup group never pools in one window task."""
+    mins = docs_fp.groupBy(key).agg(F.min("url").alias("cluster_id"))
+    return docs_fp.select("url", key).join(mins, key).select("url", "cluster_id")
