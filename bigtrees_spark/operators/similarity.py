@@ -35,6 +35,43 @@ def _cosine(a, b):  # Column helper: cosine similarity of two float arrays
     return dot / (na * nb)
 
 
+_TOPK_SALTS = 64  # partial top-k fanout bounding every buffer / final sort
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """EXACT per-query top-k without a per-query window sort over the whole
+    candidate set.
+
+    row_number().over(partitionBy(query_id)) funnels every candidate of a
+    query through ONE task's sort — fine when queries >> tasks, a straggler
+    when a few queries scan a huge corpus (exactly the labeled brute-force
+    use case).  Two-level instead: per-(query, salt) top-k inside a bounded
+    sort_array/slice aggregate (map-side partial agg, buffers <= k), then the
+    final rank over <= _TOPK_SALTS * k survivors per query.  Exactness: the
+    global top-k is a subset of the union of per-salt top-ks.  Ordering
+    (cosine desc, neighbor_id asc) rides a sortable struct(-cosine, id)."""
+    key = F.struct(
+        (-F.col("cosine")).alias("neg"), F.col("neighbor_id").alias("nid")
+    )
+    part = (
+        scored.withColumn("_s", F.pmod(F.xxhash64("neighbor_id"), F.lit(_TOPK_SALTS)))
+        .groupBy("query_id", "_s")
+        .agg(F.slice(F.sort_array(F.collect_list(key)), 1, k).alias("top"))
+    )
+    pool = part.select("query_id", F.explode("top").alias("t")).select(
+        "query_id",
+        F.col("t.nid").alias("neighbor_id"),
+        (-F.col("t.neg")).alias("cosine"),
+    )
+    # final rank: window input is bounded (<= SALTS*k rows per query)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pool.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -45,9 +82,10 @@ def brute_force_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     queries is expected to be small -> broadcast; the cross join then streams
-    the corpus once per partition with zero shuffle of the corpus side, and
-    the per-query top-k is a window over (query_id) — with AQE this stays
-    bounded because only k rows per query survive the rank filter.
+    the corpus once per partition with zero shuffle of the corpus side.  The
+    per-query top-k goes through the two-level salted reducer
+    (_topk_per_query) so a handful of queries against a 10^12-vector corpus
+    never serializes each query's scores into one sort task.
     Self-matches (same id) are excluded.
     """
     q = queries.select(
@@ -59,12 +97,7 @@ def brute_force_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def make_hyperplane_udf(dim: int, n_bits: int = 128, seed: int = 42):
@@ -288,9 +321,7 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # a query appears once per probed list, so the same (query, neighbor)
+    # cannot duplicate (corpus vectors live in exactly one list); the salted
+    # reducer bounds the per-query ranking like the brute-force path
+    return _topk_per_query(scored, k)
