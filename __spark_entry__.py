@@ -623,6 +623,72 @@ def q_url_scope(spark, sf_dir):
                         "http://site1.com/sec2")
 
 
+def q_ivf_twin_retrieval(spark, sf_dir):
+    """Closed-form IVF oracle: plant an IDENTICAL twin (vec_id + 100000) for
+    each of the first 200 vectors; a twin queried against the augmented
+    corpus must retrieve its original at rank 1 — identical vectors land in
+    the same inverted list under ANY quantizer (the centroid UDF is a pure
+    function of the vector) and cosine(v, v) tops every non-identical
+    neighbor.  Makes the probe/rank machinery oracle-checkable even though
+    general IVF results are approximation-dependent (q_ivf_topk stays the
+    rows-only general case)."""
+    from bigtrees_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twins = e.where(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(twins)
+    got = ivf_topk(twins, corpus, k=1, dim=64, n_centroids=16, n_probe=2)
+    return got.select(
+        "query_id",
+        (F.col("neighbor_id") == F.col("query_id") - 100000).alias("found_twin"),
+    )
+
+
+def q_lsh_ann_twins(spark, sf_dir):
+    """Closed-form hyperplane-LSH oracle: identical twin vectors share EVERY
+    band key (the signature is a pure function of the vector), so each
+    planted (v, v+100000) pair must appear in the candidate set and survive
+    the cosine>=0.999 verify; no non-identical pair in this corpus reaches
+    0.999.  Output drops the float cosine (ids only) so the value-hash
+    compare is exact."""
+    from bigtrees_spark.operators.similarity import lsh_neardup_pairs
+
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 200).select("vec_id", "embedding")
+    twins = e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    pairs = lsh_neardup_pairs(
+        e.unionByName(twins), cosine_threshold=0.999, dim=64
+    )
+    return pairs.select("id_l", "id_r")
+
+
+def q_simhash_twin_edges(spark, sf_dir):
+    """Closed-form SimHash EDGE oracle (beyond q_simhash_twins' fingerprint
+    equality): byte-identical twin docs have Hamming distance 0, so the
+    chunk-blocking + popcount verify must emit the (d_i, t_i) edge for every
+    doc — the blocking can never miss a distance-0 pair because all four
+    16-bit chunks collide.  Restricted to the planted twin pairs; edges
+    among the corpus's own near-dups are real detections with no closed
+    form (q_simhash_edges stays the rows-only general case)."""
+    from bigtrees_spark.operators.fingerprint import fingerprint_docs
+    from bigtrees_spark.operators.lsh import simhash_edges
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.select(_url().alias("url"), "text")
+    twin = d.select(F.format_string("t%08d", F.col("doc_id")).alias("url"), "text")
+    fp = fingerprint_docs(base.unionByName(twin))
+    edges = simhash_edges(fp)
+    twin_pair = (
+        F.col("url_l").startswith("d")
+        & F.col("url_r").startswith("t")
+        & (F.substring("url_l", 2, 8) == F.substring("url_r", 2, 8))
+    )
+    return edges.where(twin_pair).select("url_l", "url_r", "hamming")
+
+
 def q_corpus_curation(spark, sf_dir):
     """End-to-end training-data curation slice — the composite a 100 TB
     pretraining pipeline actually runs: quality gate -> exact-dup collapse
@@ -703,6 +769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dupes": q_prefix_dupes,
         "simhash_edges": q_simhash_edges,
         "ivf_topk": q_ivf_topk,
+        "ivf_twin_retrieval": q_ivf_twin_retrieval,
+        "lsh_ann_twins": q_lsh_ann_twins,
+        "simhash_twin_edges": q_simhash_twin_edges,
         "corpus_curation": q_corpus_curation,
         "error_rows": q_error_rows,
         "url_scope": q_url_scope,
@@ -986,6 +1055,20 @@ SELECT printf('http://site%d.com/sec%d/d%08d?a=%d&b=%d',
               doc_id % 7, doc_id % 5, doc_id, doc_id % 3, doc_id % 4) AS url
 FROM documents
 WHERE doc_id % 7 = 1 AND doc_id % 5 = 2 AND doc_id % 11 <> 3
+""",
+        "ivf_twin_retrieval": """
+SELECT vec_id + 100000 AS query_id, TRUE AS found_twin
+FROM embeddings WHERE vec_id < 200
+""",
+        "lsh_ann_twins": """
+SELECT vec_id AS id_l, vec_id + 100000 AS id_r
+FROM embeddings WHERE vec_id < 200
+""",
+        "simhash_twin_edges": """
+SELECT printf('d%08d', doc_id) AS url_l,
+       printf('t%08d', doc_id) AS url_r,
+       0 AS hamming
+FROM documents
 """,
         "corpus_curation": f"""
 WITH {_CORPUS_DUPS},
