@@ -864,14 +864,41 @@ WITH old AS (
   SELECT coalesce(old.url, new.url) AS url, old.sha256 AS os, new.sha256 AS ns
   FROM old FULL OUTER JOIN new ON old.url = new.url
 ), rm AS (
-  SELECT url, os AS sha256, row_number() OVER (PARTITION BY os ORDER BY url) AS rnk
-  FROM j WHERE ns IS NULL
+  SELECT url, os AS sha256 FROM j WHERE ns IS NULL
 ), ad AS (
-  SELECT url, ns AS sha256, row_number() OVER (PARTITION BY ns ORDER BY url) AS rnk
-  FROM j WHERE os IS NULL
+  SELECT url, ns AS sha256 FROM j WHERE os IS NULL
+), rm1 AS (  -- replicate operators/diff.py _match_moves: salted local ranks
+  SELECT url, sha256,
+         ascii(substr(md5(url),1,1))*256 + ascii(substr(md5(url),2,1)) AS s,
+         row_number() OVER (
+           PARTITION BY sha256, ascii(substr(md5(url),1,1))*256 + ascii(substr(md5(url),2,1))
+           ORDER BY url) AS rnk
+  FROM rm
+), ad1 AS (
+  SELECT url, sha256,
+         ascii(substr(md5(url),1,1))*256 + ascii(substr(md5(url),2,1)) AS s,
+         row_number() OVER (
+           PARTITION BY sha256, ascii(substr(md5(url),1,1))*256 + ascii(substr(md5(url),2,1))
+           ORDER BY url) AS rnk
+  FROM ad
+), p1 AS (
+  SELECT rm1.url AS url, ad1.url AS url_new
+  FROM rm1 JOIN ad1 ON rm1.sha256 = ad1.sha256 AND rm1.s = ad1.s AND rm1.rnk = ad1.rnk
+), rml AS (
+  SELECT * FROM rm1 r WHERE NOT EXISTS (
+    SELECT 1 FROM ad1 a WHERE a.sha256 = r.sha256 AND a.s = r.s AND a.rnk = r.rnk)
+), adl AS (
+  SELECT * FROM ad1 a WHERE NOT EXISTS (
+    SELECT 1 FROM rm1 r WHERE r.sha256 = a.sha256 AND r.s = a.s AND r.rnk = a.rnk)
+), rm2 AS (
+  SELECT url, sha256, row_number() OVER (PARTITION BY sha256 ORDER BY url) AS g FROM rml
+), ad2 AS (
+  SELECT url, sha256, row_number() OVER (PARTITION BY sha256 ORDER BY url) AS g FROM adl
+), p2 AS (
+  SELECT rm2.url AS url, ad2.url AS url_new
+  FROM rm2 JOIN ad2 ON rm2.sha256 = ad2.sha256 AND rm2.g = ad2.g
 ), mv AS (
-  SELECT rm.url AS url, ad.url AS url_new
-  FROM rm JOIN ad ON rm.sha256 = ad.sha256 AND rm.rnk = ad.rnk
+  SELECT url, url_new FROM p1 UNION ALL SELECT url, url_new FROM p2
 )
 SELECT 'Mv' AS kind, url, url_new FROM mv
 UNION ALL

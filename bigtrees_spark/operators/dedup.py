@@ -120,7 +120,12 @@ def simplify_dupes(doc_groups: DataFrame, prefix_groups: DataFrame) -> DataFrame
     """simplifyDupes containment pruning (DupeMap.hs:147-154): drop doc-level
     dupe groups whose EVERY member lies under some prefix of an already
     reported prefix-level group — the doc group is redundant detail of the
-    bigger finding.  Anti-join on the member->prefix relation."""
+    bigger finding.  Anti-join on the member->prefix relation.
+
+    No broadcast hint on covered_prefixes: it is DERIVED and unbounded (a
+    mirror-heavy corpus yields millions of covered prefixes), and a forced
+    broadcast bypasses AQE's size check — driver OOM at scale.  AQE picks
+    broadcast itself whenever the set is actually small."""
     covered_prefixes = prefix_groups.select(
         F.explode("prefixes").alias("prefix")
     ).distinct()
@@ -129,7 +134,7 @@ def simplify_dupes(doc_groups: DataFrame, prefix_groups: DataFrame) -> DataFrame
     ).withColumn("prefix", F.regexp_extract("url", r"^(.*)/[^/]*$", 1))
     # groups with at least one member OUTSIDE covered prefixes survive
     uncovered = (
-        exploded.join(F.broadcast(covered_prefixes), "prefix", "left_anti")
+        exploded.join(covered_prefixes, "prefix", "left_anti")
         .select("sha256")
         .distinct()
     )

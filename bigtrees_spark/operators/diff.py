@@ -22,6 +22,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+_MV_SALTS = 256  # 16x16 values of the two-hex-char md5 salt below
+
+
+def _mv_salt(url_col: str = "url"):
+    """256-way salt = codepoints of the first two md5-hex chars of the url.
+    Chosen over xxhash64 because DuckDB computes the IDENTICAL expression
+    (md5/substring/ascii exist in both engines), so the oracle SQL can
+    replicate the pairing bit-for-bit."""
+    h = F.md5(F.col(url_col))
+    return F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+
+
+def _salted_rank(side: DataFrame) -> DataFrame:
+    """(url, digest) -> (digest, s, rnk, url): rank within (digest, salt) via
+    a bounded sort_array aggregate — each buffer holds group_size/_MV_SALTS
+    urls, partial-aggregated map-side; no per-digest window."""
+    return (
+        side.withColumn("s", _mv_salt())
+        .groupBy("digest", "s")
+        .agg(F.sort_array(F.collect_list("url")).alias("us"))
+        .select("digest", "s", F.posexplode("us").alias("rnk", "url"))
+    )
+
+
+def _match_moves(rms: DataFrame, adds: DataFrame) -> DataFrame:
+    """Deterministic 1:1 (Rm url, Add url_new) matching per digest without a
+    per-digest window over the full group.  Round 1 joins salted local ranks;
+    round 2 ranks only the leftovers (salt-count imbalance) per digest —
+    bounded input, so the window there is safe even for a pathological
+    mass-move of identical content."""
+    rm1 = _salted_rank(rms)
+    ad1 = _salted_rank(adds)
+    keys = ["digest", "s", "rnk"]
+    p1 = (
+        rm1.alias("r")
+        .join(ad1.alias("a"), keys)
+        .select("digest", F.col("r.url").alias("url"), F.col("a.url").alias("url_new"))
+    )
+    rm_left = rm1.join(ad1.select(*keys), keys, "left_anti")
+    ad_left = ad1.join(rm1.select(*keys), keys, "left_anti")
+    w = Window.partitionBy("digest").orderBy("url")
+    rm2 = rm_left.withColumn("g", F.row_number().over(w))
+    ad2 = ad_left.withColumn("g", F.row_number().over(w))
+    p2 = (
+        rm2.alias("r")
+        .join(ad2.alias("a"), ["digest", "g"])
+        .select("digest", F.col("r.url").alias("url"), F.col("a.url").alias("url_new"))
+    )
+    return p1.unionByName(p2)
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "url", digest: str = "sha256") -> DataFrame:
     """deltas(kind, url, url_new): Add / Rm / Edit / Mv between two fingerprint
     tables (any DataFrame with `key` and `digest` columns)."""
@@ -41,20 +92,18 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "url", digest: str 
         & (F.col("old_digest") != F.col("new_digest"))
     ).select(F.lit("Edit").alias("kind"), F.col("url"), F.lit(None).cast("string").alias("url_new"))
 
-    # Mv: pair each Rm with at most one Add of identical digest (rank-matched
-    # within digest so multiple moves of identical content pair 1:1 —
-    # reference consumes each Add/Rm once, Delta.hs:95-101)
-    wr = Window.partitionBy("digest").orderBy("url")
-    rms_r = rms.withColumn("rnk", F.row_number().over(wr))
-    adds_r = adds.withColumn("rnk", F.row_number().over(wr))
-    mvs = (
-        rms_r.alias("r")
-        .join(adds_r.alias("a"), ["digest", "rnk"])
-        .select(
-            F.lit("Mv").alias("kind"),
-            F.col("r.url").alias("url"),
-            F.col("a.url").alias("url_new"),
-        )
+    # Mv: pair each Rm with at most one Add of identical digest, each side
+    # consumed at most once (Delta.hs:95-101 consumes each Add/Rm once;
+    # WHICH Rm pairs WHICH Add is unspecified there — any 1:1 matching is
+    # valid, ours is deterministic).  De-funneled (VERDICT r03 #5): a
+    # row_number() window partitioned by digest alone would pool a mass-move
+    # of identical-content files in ONE task's sort; instead rank within
+    # (digest, salt) via a bounded sort_array aggregate and join on
+    # (digest, salt, rank) — then only the residual rows (salt-count
+    # imbalance between the Rm and Add sides, ~sqrt-of-group-size in
+    # expectation) flow through a per-digest window.
+    mvs = _match_moves(rms, adds).select(
+        F.lit("Mv").alias("kind"), "url", "url_new"
     )
     consumed_rm = mvs.select(F.col("url"))
     consumed_add = mvs.select(F.col("url_new").alias("url"))

@@ -23,13 +23,18 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import BooleanType, IntegerType, StructField, StructType
 
 from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
 from bigtrees_spark.functions.spark_udfs import make_winnow_udf
 from bigtrees_spark.operators import lsh
 
 MAX_FP_BUCKET = 50  # fingerprint buckets above this are rank-chained like LSH
+
+# seed-window half-width multiple: the sliced verify ships substring(text,
+# pos±W) instead of full texts through the pair join (VERDICT r03 #1); W is
+# EXTEND_WINDOW_MULT * substring_min_len bytes per side
+EXTEND_WINDOW_MULT = 2
 
 
 def winnow_table(docs: DataFrame, cfg: FingerprintConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -42,32 +47,83 @@ def winnow_table(docs: DataFrame, cfg: FingerprintConfig = DEFAULT_CONFIG) -> Da
     )
 
 
-def make_extend_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
-    """pandas UDF: greedy extend around matched gram positions; returns the
-    length of the confirmed common substring (0 if the gram match was a hash
-    collision)."""
+def _extend_bytes(bl: bytes, br: bytes, pl: int, pr: int, w: int):
+    """Greedy byte extend around matched gram positions.  Returns
+    (match_len, l_exh_left, r_exh_left, l_exh_right, r_exh_right): the
+    confirmed common-substring length (0 on hash collision) plus which
+    input(s) the extension exhausted at each end — the caller decides
+    whether an exhausted SLICE edge means the result is a lower bound."""
+    if bl[pl : pl + w] != br[pr : pr + w]:
+        return 0, False, False, False, False
+    lo = 0
+    while pl - lo - 1 >= 0 and pr - lo - 1 >= 0 and bl[pl - lo - 1] == br[pr - lo - 1]:
+        lo += 1
+    hi = w
+    while pl + hi < len(bl) and pr + hi < len(br) and bl[pl + hi] == br[pr + hi]:
+        hi += 1
+    return (
+        lo + hi,
+        pl - lo == 0,           # l exhausted leftward
+        pr - lo == 0,           # r exhausted leftward
+        pl + hi == len(bl),     # l exhausted rightward
+        pr + hi == len(br),     # r exhausted rightward
+    )
+
+
+_SLICED_EXTEND_SCHEMA = StructType(
+    [StructField("mlen", IntegerType()), StructField("sat", BooleanType())]
+)
+
+
+def make_sliced_extend_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
+    """pandas UDF over byte SLICES: extend within substring(text, pos±W)
+    windows; `sat` flags results truncated by a slice edge that is NOT a true
+    text boundary (more_* args) — only those pairs re-extend on full texts."""
+
+    @F.pandas_udf(_SLICED_EXTEND_SCHEMA)
+    def extend_sliced(
+        sl: pd.Series, sr: pd.Series,
+        rel_l: pd.Series, rel_r: pd.Series,
+        more_ll: pd.Series, more_rl: pd.Series,
+        more_lr: pd.Series, more_rr: pd.Series,
+    ) -> pd.DataFrame:
+        w = cfg.winnow_gram
+        mlens, sats = [], []
+        for bl, br, pl, pr, mll, mrl, mlr, mrr in zip(
+            sl, sr, rel_l, rel_r, more_ll, more_rl, more_lr, more_rr
+        ):
+            mlen, lel, rel_, ler, rer = _extend_bytes(
+                bytes(bl or b""), bytes(br or b""), int(pl), int(pr), w
+            )
+            mlens.append(mlen)
+            # inconclusive iff a slice edge stopped the scan where the real
+            # text continues (on whichever side hit the edge)
+            sats.append(
+                bool(mlen)
+                and ((lel and mll) or (rel_ and mrl) or (ler and mlr) or (rer and mrr))
+            )
+        return pd.DataFrame({"mlen": pd.Series(mlens, dtype="int32"), "sat": sats})
+
+    return extend_sliced
+
+
+def make_full_extend_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
+    """pandas UDF: exact re-extend of window-saturated pairs on full byte
+    texts, max over the pair's saturated seeds (<= 4)."""
 
     @F.pandas_udf(IntegerType())
-    def extend(text_l: pd.Series, text_r: pd.Series, pos_l: pd.Series, pos_r: pd.Series) -> pd.Series:
+    def extend_full(tb_l: pd.Series, tb_r: pd.Series, seeds: pd.Series) -> pd.Series:
         w = cfg.winnow_gram
         out = []
-        for tl, tr, pl, pr in zip(text_l, text_r, pos_l, pos_r):
-            bl = (tl or "").encode("utf-8")
-            br = (tr or "").encode("utf-8")
-            pl, pr = int(pl), int(pr)
-            if bl[pl : pl + w] != br[pr : pr + w]:
-                out.append(0)  # hash collision
-                continue
-            lo = 0
-            while pl - lo - 1 >= 0 and pr - lo - 1 >= 0 and bl[pl - lo - 1] == br[pr - lo - 1]:
-                lo += 1
-            hi = w
-            while pl + hi < len(bl) and pr + hi < len(br) and bl[pl + hi] == br[pr + hi]:
-                hi += 1
-            out.append(lo + hi)
+        for bl, br, ss in zip(tb_l, tb_r, seeds):
+            bl, br = bytes(bl or b""), bytes(br or b"")
+            best = 0
+            for s in ss:
+                best = max(best, _extend_bytes(bl, br, int(s["pos_l"]), int(s["pos_r"]), w)[0])
+            out.append(best)
         return pd.Series(out, dtype="int32")
 
-    return extend
+    return extend_full
 
 
 def substring_edges(
@@ -103,14 +159,82 @@ def substring_edges(
         .select("url_l", "url_r", F.col("s.pos_l").alias("pos_l"), F.col("s.pos_r").alias("pos_r"))
     )
 
-    texts = docs.select("url", "text")
-    extend = make_extend_udf(cfg)
+    # --- sliced verify (VERDICT r03 #1): full texts never ride the PAIR
+    # join.  Each distinct (url, pos) seed joins the text ONCE to cut a
+    # bounded byte slice substring(text, pos±W); the pair-granularity join
+    # then ships only those slices (<= 2W+gram bytes), shrinking the verify
+    # shuffle by ~len(text)/slice_len on long docs.  The extend is byte-exact
+    # within the window; results truncated by a slice edge that is not a true
+    # text boundary are flagged `sat` and ONLY those pairs re-extend against
+    # full texts (once per pair, not once per seed) — so exactness matches
+    # the full-text verify while collision/short-match candidates (the bulk
+    # at web scale) never touch a full text.
+    W = EXTEND_WINDOW_MULT * cfg.substring_min_len
+    slice_len = 2 * W + cfg.winnow_gram
+    texts_b = docs.select(
+        "url", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("tb")
+    )
+    seeds = (
+        cands.select(F.col("url_l").alias("url"), F.col("pos_l").alias("pos"))
+        .unionByName(cands.select(F.col("url_r").alias("url"), F.col("pos_r").alias("pos")))
+        .distinct()
+    )
+    start = F.greatest(F.col("pos") - W, F.lit(0))
+    slices = seeds.join(texts_b, "url").select(
+        "url",
+        "pos",
+        (F.col("pos") - start).alias("rel"),
+        F.substring("tb", start + 1, F.lit(slice_len)).alias("sl"),
+        (start > 0).alias("more_left"),
+        (start + F.octet_length(F.substring("tb", start + 1, F.lit(slice_len)))
+         < F.octet_length("tb")).alias("more_right"),
+    )
+
+    def _side(side: str) -> DataFrame:
+        return slices.select(
+            F.col("url").alias(f"url_{side}"),
+            F.col("pos").alias(f"pos_{side}"),
+            F.col("sl").alias(f"sl_{side}"),
+            F.col("rel").alias(f"rel_{side}"),
+            F.col("more_left").alias(f"more_{side}l"),
+            F.col("more_right").alias(f"more_{side}r"),
+        )
+
+    extend_sliced = make_sliced_extend_udf(cfg)
+    scored = (
+        cands.join(_side("l"), ["url_l", "pos_l"])
+        .join(_side("r"), ["url_r", "pos_r"])
+        .withColumn(
+            "e",
+            extend_sliced(
+                "sl_l", "sl_r", "rel_l", "rel_r",
+                "more_ll", "more_rl", "more_lr", "more_rr",
+            ),
+        )
+    )
+    per_pair = scored.groupBy("url_l", "url_r").agg(
+        F.max(F.when(~F.col("e.sat"), F.col("e.mlen"))).alias("m_ok"),
+        F.slice(
+            F.collect_list(F.when(F.col("e.sat"), F.struct("pos_l", "pos_r"))), 1, 4
+        ).alias("sat_seeds"),
+    )
+    resolved = per_pair.where(F.size("sat_seeds") == 0).select(
+        "url_l", "url_r", F.col("m_ok").alias("match_len")
+    )
+    extend_full = make_full_extend_udf(cfg)
+    fallback = (
+        per_pair.where(F.size("sat_seeds") > 0)
+        .join(texts_b.withColumnsRenamed({"url": "url_l", "tb": "tb_l"}), "url_l")
+        .join(texts_b.withColumnsRenamed({"url": "url_r", "tb": "tb_r"}), "url_r")
+        .withColumn("m_fb", extend_full("tb_l", "tb_r", "sat_seeds"))
+        .select(
+            "url_l",
+            "url_r",
+            F.greatest(F.coalesce("m_ok", F.lit(0)), "m_fb").alias("match_len"),
+        )
+    )
     return (
-        cands.join(texts.withColumnsRenamed({"url": "url_l", "text": "text_l"}), "url_l")
-        .join(texts.withColumnsRenamed({"url": "url_r", "text": "text_r"}), "url_r")
-        .withColumn("match_len", extend("text_l", "text_r", "pos_l", "pos_r"))
-        .groupBy("url_l", "url_r")
-        .agg(F.max("match_len").alias("match_len"))
+        resolved.unionByName(fallback)
         .where(F.col("match_len") >= F.lit(cfg.substring_min_len))
         .select("url_l", "url_r", "match_len")
     )

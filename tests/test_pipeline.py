@@ -208,3 +208,46 @@ def test_pipeline_from_html_matches_text_path(spark, pages, result):
     a = {(r.url, r.cluster_id) for r in result.clusters.collect()}
     b = {(r.url, r.cluster_id) for r in res_html.clusters.collect()}
     assert a == b
+
+
+def test_substring_sliced_verify_exact_lengths(spark):
+    """Sliced verify exactness (VERDICT r04 item #1): match_len is byte-exact
+    both for short shared regions (resolved inside the pos±W slices, no
+    full-text fallback possible) and for regions far longer than the slice
+    window (slice_len = 2W+gram = 1088 bytes at default config), which can
+    ONLY be exact if the saturated-pair full-text re-extend ran.  The long
+    region includes multibyte UTF-8 to pin byte (not char) positioning."""
+    import numpy as np
+
+    from bigtrees_spark.operators.substring import (
+        EXTEND_WINDOW_MULT,
+        substring_edges,
+    )
+    from bigtrees_spark.config import DEFAULT_CONFIG as CFG
+
+    rng = np.random.default_rng(3)
+
+    def junk(n, tag):
+        # tag-prefixed tokens: flanks of different docs differ at the first
+        # byte adjacent to the shared region, so no accidental extension
+        return " ".join(f"{tag}{rng.integers(0, 10**9)}" for _ in range(n))
+
+    short = ("s" + " ".join(f"s{i}" for i in range(90)))[:300]  # 300 bytes
+    assert len(short.encode()) >= CFG.substring_min_len
+    long_s = "déjà-" + " ".join(f"l{i}" for i in range(900))    # ~6 KB, multibyte
+    slice_len = 2 * EXTEND_WINDOW_MULT * CFG.substring_min_len + CFG.winnow_gram
+    assert len(long_s.encode()) > 4 * slice_len
+
+    rows = [
+        ("a1", junk(80, "p") + "|" + short + "|" + junk(80, "p")),
+        ("a2", junk(80, "q") + "|" + short + "|" + junk(80, "q")),
+        ("b1", junk(80, "u") + "|" + long_s + "|" + junk(80, "u")),
+        ("b2", junk(80, "w") + "|" + long_s + "|" + junk(80, "w")),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {(r.url_l, r.url_r): r.match_len for r in substring_edges(df).collect()}
+    # '|' delimiters are shared across all four docs, so the true common
+    # substring is '|' + S + '|' (junk tokens differ on both flanks)
+    assert got[("a1", "a2")] == len(short.encode()) + 2
+    assert got[("b1", "b2")] == len(long_s.encode()) + 2
+    assert ("a1", "b1") not in got and ("a1", "b2") not in got
