@@ -426,6 +426,45 @@ def q_winnow_counts(spark, sf_dir):
     return winnow_table(d).groupBy("url").agg(F.count("*").alias("n_fps"))
 
 
+def q_bpe_twin_counts(spark, sf_dir):
+    """Closed-form learned-BPE oracle (VERDICT r03 next-round #4): the merge
+    table is corpus-dependent (not SQL-expressible), but two properties of
+    the learned tokenizer ARE SQL-decidable without knowing the merges:
+      * byte-identical twin docs tokenize identically — the count UDF is a
+        pure function of (text, merges) and the merges ship in the closure,
+        so any executor/batch nondeterminism flips twin_equal;
+      * the count is bounded: every word ([a-z0-9]+ on lowercased text,
+        pinned to functions/bpe.py WORD_RE) yields >= 1 token (lower bound
+        n_words) and at most len(word)+1 tokens (all-singleton chars plus
+        the </w> sentinel; upper bound n_word_chars + n_words).
+    Moves the last rows-only operator with no closed-form sibling
+    (bpe_token_count) to oracle-adjacent."""
+    from bigtrees_spark.functions.bpe import fit_bpe, with_bpe_token_counts
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.select(_url().alias("url"), "text")
+    twin = d.select(F.format_string("t%08d", F.col("doc_id")).alias("url"), "text")
+    corpus = base.unionByName(twin)
+    merges = fit_bpe(corpus, n_merges=200, sample_size=1000)
+    counted = with_bpe_token_counts(corpus, merges)
+    lower = F.lower(F.col("text"))
+    cb = counted.where(F.col("url").startswith("d")).select(
+        F.substring("url", 2, 8).alias("id"),
+        F.col("n_tokens_bpe_learned").alias("nb"),
+        F.size(F.regexp_extract_all(lower, F.lit("[a-z0-9]+"), 0)).alias("n_words"),
+        F.length(F.regexp_replace(lower, "[^a-z0-9]", "")).alias("n_word_chars"),
+    )
+    ct = counted.where(F.col("url").startswith("t")).select(
+        F.substring("url", 2, 8).alias("id"), F.col("n_tokens_bpe_learned").alias("nt")
+    )
+    return cb.join(ct, "id").select(
+        F.concat(F.lit("d"), F.col("id")).alias("url"),
+        (F.col("nb") == F.col("nt")).alias("twin_equal"),
+        (F.col("nb") >= F.col("n_words")).alias("lower_ok"),
+        (F.col("nb") <= F.col("n_word_chars") + F.col("n_words")).alias("upper_ok"),
+    )
+
+
 def q_simhash_twins(spark, sf_dir):
     """Closed-form SimHash oracle (VERDICT r02 #4a): byte-identical twin docs
     MUST produce identical simhash fingerprints (the fingerprint is a pure
@@ -750,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "root_info": q_root_info,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
+        "bpe_twin_counts": q_bpe_twin_counts,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
@@ -1071,6 +1111,14 @@ FROM documents
 SELECT printf('d%08d', doc_id) AS url,
        len(regexp_extract_all(lower(text), '[a-z0-9]+'))::INT AS n_tokens,
        TRUE AS twin_same_simhash
+FROM documents
+""",
+        # twin-equality and the word/char bounds hold for ANY merge table, so
+        # the oracle is closed-form even though the merges aren't (see
+        # q_bpe_twin_counts docstring for the derivation)
+        "bpe_twin_counts": """
+SELECT printf('d%08d', doc_id) AS url,
+       TRUE AS twin_equal, TRUE AS lower_ok, TRUE AS upper_ok
 FROM documents
 """,
         "winnow_density": """

@@ -35,38 +35,40 @@ def _cosine(a, b):  # Column helper: cosine similarity of two float arrays
     return dot / (na * nb)
 
 
-_TOPK_SALTS = 64  # partial top-k fanout bounding every buffer / final sort
-
-
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
-    """EXACT per-query top-k without a per-query window sort over the whole
-    candidate set.
+    """EXACT per-query top-k with GENUINELY bounded memory at every stage.
 
     row_number().over(partitionBy(query_id)) funnels every candidate of a
-    query through ONE task's sort — fine when queries >> tasks, a straggler
-    when a few queries scan a huge corpus (exactly the labeled brute-force
-    use case).  Two-level instead: per-(query, salt) top-k inside a bounded
-    sort_array/slice aggregate (map-side partial agg, buffers <= k), then the
-    final rank over <= _TOPK_SALTS * k survivors per query.  Exactness: the
-    global top-k is a subset of the union of per-salt top-ks.  Ordering
-    (cosine desc, neighbor_id asc) rides a sortable struct(-cosine, id)."""
-    key = F.struct(
-        (-F.col("cosine")).alias("neg"), F.col("neighbor_id").alias("nid")
-    )
-    part = (
-        scored.withColumn("_s", F.pmod(F.xxhash64("neighbor_id"), F.lit(_TOPK_SALTS)))
-        .groupBy("query_id", "_s")
-        .agg(F.slice(F.sort_array(F.collect_list(key)), 1, k).alias("top"))
-    )
-    pool = part.select("query_id", F.explode("top").alias("t")).select(
-        "query_id",
-        F.col("t.nid").alias("neighbor_id"),
-        (-F.col("t.neg")).alias("cosine"),
-    )
-    # final rank: window input is bounded (<= SALTS*k rows per query)
+    query through ONE task's sort; a salted collect_list+slice aggregate
+    (the round-3 shape) truncates only AFTER aggregation, so a reducer
+    buffer still held group_size/SALTS rows — the ADVICE r03 finding.
+    Instead: a partition-local running top-k via mapInPandas — state is
+    <= k rows per query PER PARTITION regardless of corpus size, truncation
+    happens BEFORE any shuffle, and the input never ships the embedding
+    vectors (3 numeric columns only).  The final rank window then sees
+    <= n_partitions * k rows per query.  Exactness: the global top-k by
+    (cosine desc, neighbor_id asc) is a subset of the union of
+    per-partition top-ks by the same order."""
+    sc = scored.select("query_id", "neighbor_id", "cosine")
+
+    def partial_topk(batches):
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
+            cur = cur.sort_values(
+                ["query_id", "cosine", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    part = sc.mapInPandas(partial_topk, schema=sc.schema)
+    # final rank: window input is bounded (<= n_partitions * k rows/query)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pool.withColumn("rank", F.row_number().over(w))
+        part.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -83,10 +85,10 @@ def brute_force_topk(
 
     queries is expected to be small -> broadcast; the cross join then streams
     the corpus once per partition with zero shuffle of the corpus side.  The
-    per-query top-k goes through the two-level salted reducer
+    per-query top-k goes through the partition-local bounded reducer
     (_topk_per_query) so a handful of queries against a 10^12-vector corpus
-    never serializes each query's scores into one sort task.
-    Self-matches (same id) are excluded.
+    never serializes each query's scores into one sort task or one
+    aggregation buffer.  Self-matches (same id) are excluded.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -322,6 +324,6 @@ def ivf_topk(
         .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
     )
     # a query appears once per probed list, so the same (query, neighbor)
-    # cannot duplicate (corpus vectors live in exactly one list); the salted
-    # reducer bounds the per-query ranking like the brute-force path
+    # cannot duplicate (corpus vectors live in exactly one list); the
+    # bounded reducer caps the per-query ranking like the brute-force path
     return _topk_per_query(scored, k)

@@ -128,7 +128,7 @@ def near_dedup_pipeline(
 # bounded member preview per report row — the reference prints bounded group
 # headers for the same reason (DupeMap.hs:168-201); n_members stays exact
 REPORT_MEMBERS_CAP = 100
-_MEMBER_SALTS = 64  # partial-agg fanout bounding every member buffer
+_MEMBER_SALTS = 64  # per-level fanout; squared for the first member split
 
 
 def cluster_report(
@@ -141,14 +141,21 @@ def cluster_report(
 
     Skew design: a mega-cluster must not materialize its full membership in
     one aggregation buffer or one output row.  Stats (count/sum/max) partial-
-    aggregate map-side for free; the member list is built two-level — first
-    the `members_cap` smallest urls per (cluster, salt) bucket, then the cap
-    smallest of those — so every buffer holds <= _MEMBER_SALTS * members_cap
-    urls regardless of cluster size.  `n_members` remains the exact count.
+    aggregate map-side for free; the member list is built THREE-level over a
+    4096-way url salt: the `members_cap` smallest urls per (cluster,
+    salt%4096) bucket, then per (cluster, salt%64), then per cluster.
+    Honest memory bound (ADVICE r03): only the levels AFTER the first are
+    strictly capped (<= _MEMBER_SALTS * members_cap entries per buffer); the
+    first-level collect_list buffers membership/4096 urls — truncation
+    inside an aggregation buffer is not expressible in Catalyst, so a
+    10^9-member pathological cluster still holds ~250k urls in its hottest
+    first-level buffer (~15 MB at 60-byte urls: large but survivable, and
+    4096x better than an unsalted collect).  `n_members` stays exact.
     """
-    part = (
+    fine = _MEMBER_SALTS * _MEMBER_SALTS
+    lvl0 = (
         clusters.join(doc_sizes, "url")
-        .withColumn("_s", F.pmod(F.xxhash64("url"), F.lit(_MEMBER_SALTS)))
+        .withColumn("_s", F.pmod(F.xxhash64("url"), F.lit(fine)))
         .groupBy("cluster_id", "_s")
         .agg(
             F.count("*").alias("n"),
@@ -157,8 +164,20 @@ def cluster_report(
             F.slice(F.sort_array(F.collect_list("url")), 1, members_cap).alias("m"),
         )
     )
+    lvl1 = (
+        lvl0.withColumn("_s1", F.col("_s") % _MEMBER_SALTS)
+        .groupBy("cluster_id", "_s1")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("b_total").alias("b_total"),
+            F.max("b_max").alias("b_max"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("m"))), 1, members_cap
+            ).alias("m"),
+        )
+    )
     return (
-        part.groupBy("cluster_id")
+        lvl1.groupBy("cluster_id")
         .agg(
             F.sum("n").alias("n_members"),
             F.sum("b_total").alias("n_bytes_total"),
