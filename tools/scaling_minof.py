@@ -18,7 +18,45 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def one_run(cores: int, sf_dir: str, n_variants: int) -> tuple[float, int]:
+def _tree_cpu_seconds() -> float:
+    """CPU seconds (utime+stime) consumed by this process and every live
+    descendant (driver JVM, executor threads, Python workers) — read from
+    /proc.  Deltas of this are STEAL-RESISTANT: neighbor tenants inflate
+    wall time but not our processes' CPU time, so cpu_lo ~= cpu_hi across
+    parallelism levels is direct evidence the engine does the same total
+    work at N and 4N (no work inflation term), independent of tenancy."""
+    import os
+
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    ticks: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens: fields resume after the last ')'
+        rest = s[s.rindex(")") + 2 :].split()
+        pid = int(d)
+        ppid[pid] = int(rest[1])          # field 4
+        ticks[pid] = int(rest[11]) + int(rest[12])  # utime+stime (14,15)
+    total = 0
+    for pid in ticks:
+        p = pid
+        for _ in range(64):  # walk ancestry
+            if p == me:
+                total += ticks[pid]
+                break
+            p = ppid.get(p, 0)
+            if p <= 1:
+                break
+    return total / os.sysconf("SC_CLK_TCK")
+
+
+def one_run(cores: int, sf_dir: str, n_variants: int) -> tuple[float, int, float]:
     import bench
     from bigtrees_spark.plans.pipeline import near_dedup_pipeline
 
@@ -28,14 +66,16 @@ def one_run(cores: int, sf_dir: str, n_variants: int) -> tuple[float, int]:
             bench._corpus(spark, sf_dir).limit(400), persist=False
         ).clusters.count()
         corpus = bench._scaling_corpus(spark, sf_dir, n_variants)
+        cpu0 = _tree_cpu_seconds()
         t0 = time.time()
         res = near_dedup_pipeline(corpus, persist=True)
         n = res.clusters.count()
         dt = time.time() - t0
+        cpu = _tree_cpu_seconds() - cpu0
         res.docs_fp.unpersist()
     finally:
         spark.stop()
-    return dt, n
+    return dt, n, round(cpu, 1)
 
 
 def main() -> None:
@@ -47,14 +87,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     times: dict[int, list[float]] = {lo: [], hi: []}
+    cpus: dict[int, list[float]] = {lo: [], hi: []}
     docs = 0
     for rep in range(k):
         for cores in (lo, hi):  # alternate so noise hits both legs equally
-            dt, docs = one_run(cores, sf_dir, n_variants)
+            load0 = open("/proc/loadavg").read().split()[0]
+            dt, docs, cpu = one_run(cores, sf_dir, n_variants)
             times[cores].append(round(dt, 1))
+            cpus[cores].append(cpu)
             # append progress after every leg so partial results survive kills
             with open(out_path + ".progress", "a") as f:
-                f.write(json.dumps({"rep": rep, "cores": cores, "sec": round(dt, 1)}) + "\n")
+                f.write(json.dumps({
+                    "rep": rep, "cores": cores, "sec": round(dt, 1),
+                    "cpu_sec": cpu, "load_start": load0,
+                    "load_end": open("/proc/loadavg").read().split()[0],
+                }) + "\n")
 
     t_lo, t_hi = min(times[lo]), min(times[hi])
     eff = (docs / t_hi) / (docs / t_lo) / (hi / lo)
@@ -65,6 +112,10 @@ def main() -> None:
         "reps": k,
         "method": "min-of-k alternating (multi-tenant host)",
         "all_times": {str(c): ts for c, ts in times.items()},
+        # process-tree CPU seconds per leg: steal-resistant work metric —
+        # cpu_lo ~= cpu_hi means the engine does the same total work at both
+        # parallelism levels (no work-inflation term), whatever the tenancy
+        "cpu_seconds": {str(c): ts for c, ts in cpus.items()},
         f"local{lo}": {"sec": t_lo, "docs_per_sec": round(docs / t_lo, 1)},
         f"local{hi}": {"sec": t_hi, "docs_per_sec": round(docs / t_hi, 1)},
         "cores_low": lo,
