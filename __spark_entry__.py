@@ -704,6 +704,38 @@ def q_lsh_ann_twins(spark, sf_dir):
     return pairs.select("id_l", "id_r")
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """Composite semantic-dedup oracle: hyperplane-LSH pairing -> connected
+    components, end-to-end over embeddings ∪ identical twins.  An identical
+    twin shares every band key, survives the 0.999 cosine verify
+    (q_lsh_ann_twins proves the edge exists), and CC must therefore place
+    (v, v+100000) in the same cluster with the MIN-id label — so cluster_id
+    == vec_id for every twin pair is closed-form.  Checks the stage
+    INTERACTION (edge schema fed to CC, label propagation), which the
+    per-stage oracles can't see."""
+    from bigtrees_spark.operators.cc import connected_components
+    from bigtrees_spark.operators.similarity import lsh_neardup_pairs
+
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 200).select("vec_id", "embedding")
+    twins = e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = e.unionByName(twins)
+    # CC's min-label is LEXICOGRAPHIC (urls are strings) — zero-pad the
+    # numeric ids so string order == numeric order and min label == min id
+    edges = lsh_neardup_pairs(corpus, cosine_threshold=0.999, dim=64).select(
+        F.format_string("%09d", "id_l").alias("url_l"),
+        F.format_string("%09d", "id_r").alias("url_r"),
+    )
+    labels = connected_components(edges)
+    member = corpus.select(F.format_string("%09d", "vec_id").alias("url"))
+    return (
+        member.join(labels, "url", "left")
+        .select(
+            F.col("url").cast("long").alias("vec_id"),
+            F.coalesce(F.col("cluster_id"), F.col("url")).cast("long").alias("cluster_id"),
+        )
+    )
+
+
 def q_simhash_twin_edges(spark, sf_dir):
     """Closed-form SimHash EDGE oracle (beyond q_simhash_twins' fingerprint
     equality): byte-identical twin docs have Hamming distance 0, so the
@@ -812,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_twin_retrieval": q_ivf_twin_retrieval,
         "lsh_ann_twins": q_lsh_ann_twins,
         "simhash_twin_edges": q_simhash_twin_edges,
+        "embedding_clusters": q_embedding_clusters,
         "corpus_curation": q_corpus_curation,
         "error_rows": q_error_rows,
         "url_scope": q_url_scope,
@@ -1144,6 +1177,14 @@ SELECT printf('d%08d', doc_id) AS url_l,
        printf('t%08d', doc_id) AS url_r,
        0 AS hamming
 FROM documents
+""",
+        # components are exactly the planted (v, v+100000) twin pairs
+        # (q_lsh_ann_twins pins the edge set), so min-id labels are v
+        "embedding_clusters": """
+SELECT vec_id, vec_id AS cluster_id FROM embeddings WHERE vec_id < 200
+UNION ALL
+SELECT vec_id + 100000 AS vec_id, vec_id AS cluster_id
+FROM embeddings WHERE vec_id < 200
 """,
         "corpus_curation": f"""
 WITH {_CORPUS_DUPS},
