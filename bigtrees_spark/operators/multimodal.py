@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns with
 typed metadata, processed via mapInPandas.
 
-The decode step itself is STUBBED (image/audio libraries are not in this
-container — task brief): `decode_image` raises NotImplementedError unless the
-deterministic fake decoder is selected.  Everything Spark-side — schema,
-batch iteration, partitioning, output shape — is real and tested, so swapping
-in a real decoder (PIL/ffmpeg) is a one-function change on the executors.
+`decode_image` is a REAL PIL decoder behind an import guard: it runs
+wherever PIL exists on the executors and raises NotImplementedError here
+(this container ships no image libraries — task brief), so hermetic tests
+select the deterministic fake decoder instead.  Everything Spark-side —
+schema, batch iteration, partitioning, output shape — is real and tested
+on both paths; the PIL branch itself is covered by a skip-if-absent test.
 
 Reference analog: the HashTree functor payload — trees optionally carry file
 CONTENTS alongside metadata and ops project them away when not needed
