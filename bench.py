@@ -56,12 +56,19 @@ def _corpus(spark, sf_dir):
 
 def _scaling_corpus(spark, sf_dir, n_variants: int | None = None):
     """Derived corpus for the N-vs-4N scaling run: crossJoin documents with
-    `n_variants` variant ids; each variant prepends a 2x-length stream of
-    variant-unique tokens (pure codegen), so variants of the same doc are
-    mutually NON-duplicate (Jaccard ~0.2 < threshold) while every variant
-    keeps a 3-token-truncated near-dup twin.  One parquet read, no
-    driver-side unions — the corpus itself is built the way a 100 TB input
-    would arrive: wide and partitioned."""
+    `n_variants` variant ids; each variant remaps the alphanumeric alphabet
+    (translate = one JVM char pass), so variants of the same doc share ~no
+    token shingles and are mutually NON-duplicate, while every variant keeps
+    a 3-token-truncated near-dup twin.  One parquet read, no driver-side
+    unions — the corpus itself is built the way a 100 TB input would arrive:
+    wide and partitioned.
+
+    The per-variant permutation ships as a broadcast-joined (v, perm) table
+    and feeds `translate(text, src, perm)` with a COLUMN replacement arg —
+    the earlier 512-branch when()-chain generated >64 KB of Java for the
+    projection and silently fell back to interpreted eval (janino "Code
+    grows beyond 64 KB"); the data-driven form keeps the stage inside
+    whole-stage codegen at any n_variants."""
     from pyspark.sql import functions as F
 
     if n_variants is None:
@@ -75,22 +82,15 @@ def _scaling_corpus(spark, sf_dir, n_variants: int | None = None):
         .select("doc_id", "text")
         .repartition(par)
     )
-    v = spark.range(n_variants).withColumnRenamed("id", "v")
-    c = d.crossJoin(v)
-    # per-variant alphanumeric remap (translate = one JVM char pass): variants
-    # of the same doc share ~no token shingles, each keeps its truncated twin
     src = "0123456789abcdefghijklmnopqrstuvwxyz"
     s1, s2 = src[:18], src[18:]
-    text_v = None
+    perms = []
     for k in range(n_variants):
         a, b = k % 18, (k // 18) % 18  # 324 distinct double-rotations
-        perm = (s1[a:] + s1[:a]) + (s2[b:] + s2[:b])
-        branch = F.translate("text", src, perm)
-        text_v = (
-            F.when(F.col("v") == k, branch)
-            if text_v is None
-            else text_v.when(F.col("v") == k, branch)
-        )
+        perms.append((k, (s1[a:] + s1[:a]) + (s2[b:] + s2[:b])))
+    pm = spark.createDataFrame(perms, "v long, perm string")
+    c = d.crossJoin(F.broadcast(pm))
+    text_v = F.expr(f"translate(text, '{src}', perm)")
     base = c.select(
         F.format_string("v%03dd%08d", "v", "doc_id").alias("url"), text_v.alias("text")
     )

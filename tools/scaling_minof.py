@@ -56,7 +56,29 @@ def _tree_cpu_seconds() -> float:
     return total / os.sysconf("SC_CLK_TCK")
 
 
-def one_run(cores: int, sf_dir: str, n_variants: int) -> tuple[float, int, float]:
+def materialize(sf_dir: str, n_variants: int, path: str, cores: int = 16) -> None:
+    """One-time, UNTIMED: write the derived scaling corpus to parquet.  Every
+    leg then reads the identical bytes, and corpus synthesis (a sandbox-only
+    step — a real 100 TB input arrives as a table) is excluded from the
+    measured job, which becomes exactly the north-rule job: the dedup
+    pipeline over a parquet/Iceberg-shaped table.  Legs before round-4e
+    derived the corpus lazily inside the timed region instead; that work was
+    embarrassingly parallel, so it inflated both legs' walls equally, but
+    excluding it is the cleaner measurement."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    import bench
+
+    spark = bench._bench_session(cores)
+    try:
+        bench._scaling_corpus(spark, sf_dir, n_variants).write.mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        spark.stop()
+
+
+def one_run(cores: int, corpus_path: str, sf_dir: str) -> tuple[float, int, float]:
     import bench
     from bigtrees_spark.plans.pipeline import near_dedup_pipeline
 
@@ -65,7 +87,7 @@ def one_run(cores: int, sf_dir: str, n_variants: int) -> tuple[float, int, float
         near_dedup_pipeline(
             bench._corpus(spark, sf_dir).limit(400), persist=False
         ).clusters.count()
-        corpus = bench._scaling_corpus(spark, sf_dir, n_variants)
+        corpus = spark.read.parquet(corpus_path)
         cpu0 = _tree_cpu_seconds()
         t0 = time.time()
         res = near_dedup_pipeline(corpus, persist=True)
@@ -86,13 +108,20 @@ def main() -> None:
     n_variants = int(os.environ.get("SPARK_GRAFT_SCALE_VARIANTS", "64"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    corpus_path = os.environ.get(
+        "SPARK_GRAFT_SCALE_CORPUS",
+        f"/tmp/scaling_corpus_{tag}_v{n_variants}.parquet",
+    )
+    materialize(sf_dir, n_variants, corpus_path)
+
     times: dict[int, list[float]] = {lo: [], hi: []}
     cpus: dict[int, list[float]] = {lo: [], hi: []}
     docs = 0
     for rep in range(k):
         for cores in (lo, hi):  # alternate so noise hits both legs equally
             load0 = open("/proc/loadavg").read().split()[0]
-            dt, docs, cpu = one_run(cores, sf_dir, n_variants)
+            dt, docs, cpu = one_run(cores, corpus_path, sf_dir)
             times[cores].append(round(dt, 1))
             cpus[cores].append(cpu)
             # append progress after every leg so partial results survive kills
@@ -111,6 +140,7 @@ def main() -> None:
         "docs": docs,
         "reps": k,
         "method": "min-of-k alternating (multi-tenant host)",
+        "input": f"pre-materialized parquet ({corpus_path})",
         "all_times": {str(c): ts for c, ts in times.items()},
         # process-tree CPU seconds per leg: steal-resistant work metric —
         # cpu_lo ~= cpu_hi means the engine does the same total work at both
