@@ -19,10 +19,10 @@ from bigtrees_spark.session import get_spark  # noqa: E402
 SF = "/root/testdata/sf0.01"
 
 
-def plan_of(df) -> str:
+def plan_of(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
+        df.explain(mode)
     return buf.getvalue()
 
 
@@ -97,6 +97,43 @@ def main() -> None:
         ] = plan_of(substring.substring_edges(long_docs))
     finally:
         _DF.localCheckpoint = _orig_ckpt
+
+    # 4d. ANN brute-force top-k: corpus side must NOT shuffle (queries
+    # broadcast into a BroadcastNestedLoopJoin); the per-query reduction is a
+    # partition-local bounded mapInPandas (<= k rows/query/partition state)
+    # followed by a window over <= n_partitions*k rows — no full-corpus sort,
+    # no unbounded aggregation buffer (ADVICE r03)
+    from bigtrees_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sections["ann brute-force top-k: broadcast queries + bounded partial top-k"] = plan_of(
+        similarity.brute_force_topk(emb.limit(3), emb, k=5)
+    )
+
+    # 4e. snapshot_diff move matching: rank-within-(digest,salt) via a
+    # sort_array AGGREGATE + equi-join on (digest, salt, rank) — the only
+    # window runs on the residual anti-join leftovers, so a mass-move of
+    # identical-content files never funnels one digest through one task
+    # (VERDICT r03 #5)
+    from bigtrees_spark.operators import diff as diffmod
+
+    old_fp = fpd.select("url", "sha256")
+    new_fp = old_fp.withColumn(
+        "url", F.concat(F.lit("moved/"), F.col("url"))
+    )
+    # simple mode: the formatted dump of this 40-operator tree runs ~2700
+    # lines; the tree alone shows the property (ObjectHashAggregate ranks,
+    # equi-joins on (digest,s,rnk), windows only on the anti-join residue)
+    sections["snapshot_diff: salted 1:1 move matching (no per-digest window funnel)"] = plan_of(
+        diffmod.snapshot_diff(old_fp, new_fp), mode="simple"
+    )
+
+    # 4f. simplify_dupes: covered_prefixes is DERIVED and unbounded, so the
+    # plan must not force-broadcast it — AQE decides (a forced broadcast of a
+    # derived set is a driver-OOM risk at scale; VERDICT r03 #2)
+    sections["simplify_dupes: no forced broadcast of derived covered-prefix set"] = plan_of(
+        dedup.simplify_dupes(dedup.exact_dupe_groups(fpd), dedup.prefix_dupe_groups(fpd))
+    )
 
     # 5. URL canonicalization + scope: pure Catalyst expressions
     from bigtrees_spark.operators import urls
