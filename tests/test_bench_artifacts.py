@@ -58,3 +58,52 @@ def test_best_recorded_pair_math_matches_artifact():
     cpu_hi = min(raw["cpu_seconds"][str(hi)])
     assert best["cpu_work_ratio_hi_over_lo"] == round(cpu_hi / cpu_lo, 3)
     assert best["cpu_derived_efficiency"] == round((cpu_lo / lo) / (cpu_hi / hi) / (hi / lo), 3)
+
+
+def _load_scaling_tool():
+    spec = importlib.util.spec_from_file_location(
+        "scaling_minof_mod",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "scaling_minof.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_materialized_scaling_corpus_roundtrip(spark, tmp_path):
+    """The pre-materialized scaling input must (a) equal the live-derived
+    corpus byte-for-byte (count + order-independent content hash), so every
+    leg measures the same job, and (b) be idempotent — a second materialize
+    call must not rewrite (legs share one copy)."""
+    from pyspark.sql import functions as F
+
+    import bench
+
+    tool = _load_scaling_tool()
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "scaling_corpus.parquet")
+
+    os.environ["SPARK_GRAFT_SCALE_VARIANTS"] = "4"
+    try:
+        live = bench._scaling_corpus(spark, sf, 4)
+        tool.materialize(sf, 4, path, spark=spark)
+        mtime0 = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+        tool.materialize(sf, 4, path, spark=spark)  # second call: no-op
+        assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime0
+
+        stored = spark.read.parquet(path)
+
+        def sig(df):
+            r = df.agg(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("url", "text")).alias("x"),
+            ).collect()[0]
+            return r.n, r.x
+
+        assert sig(stored) == sig(live)
+    finally:
+        os.environ.pop("SPARK_GRAFT_SCALE_VARIANTS", None)

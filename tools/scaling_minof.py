@@ -56,7 +56,9 @@ def _tree_cpu_seconds() -> float:
     return total / os.sysconf("SC_CLK_TCK")
 
 
-def materialize(sf_dir: str, n_variants: int, path: str, cores: int = 16) -> None:
+def materialize(
+    sf_dir: str, n_variants: int, path: str, cores: int = 16, spark=None
+) -> None:
     """One-time, UNTIMED: write the derived scaling corpus to parquet.  Every
     leg then reads the identical bytes, and corpus synthesis (a sandbox-only
     step — a real 100 TB input arrives as a table) is excluded from the
@@ -69,13 +71,16 @@ def materialize(sf_dir: str, n_variants: int, path: str, cores: int = 16) -> Non
         return
     import bench
 
-    spark = bench._bench_session(cores)
+    own = spark is None
+    if own:
+        spark = bench._bench_session(cores)
     try:
         bench._scaling_corpus(spark, sf_dir, n_variants).write.mode(
             "overwrite"
         ).parquet(path)
     finally:
-        spark.stop()
+        if own:  # caller-provided sessions stay alive (shared local JVM)
+            spark.stop()
 
 
 def one_run(cores: int, corpus_path: str, sf_dir: str) -> tuple[float, int, float]:
