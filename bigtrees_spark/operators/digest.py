@@ -71,7 +71,16 @@ def rollup_digest_tree(level0: DataFrame, fanout: int = 16) -> DataFrame:
     fanout^k rows), so upper levels cost nothing; level count = ceil(log_f B).
     Returns the full tree (all levels) including the root (level = height,
     bucket = 0).
+
+    level0 is materialized (eager localCheckpoint) before the fold: it is the
+    only expensive input (one corpus-wide aggregation, n_buckets output rows),
+    and every level's height probe plus every branch of the returned union
+    re-evaluates its lineage otherwise — the corpus agg would run once per
+    level instead of once.  The checkpointed frame is n_buckets rows (~10^5
+    even at 100 TB), so materialization cost is nil; executor-loss replay of
+    a local checkpoint is acceptable for this derived, recomputable artifact.
     """
+    level0 = level0.localCheckpoint(eager=True)
     levels = [level0]
     cur = level0
     while cur.count() > 1:
