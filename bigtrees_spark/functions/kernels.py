@@ -174,6 +174,80 @@ _WINNOW_BASE = np.uint64(0x100000001B3)  # FNV64 prime as polynomial base
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _gram_hashes(arr: np.ndarray, w: int) -> np.ndarray:
+    """Per-position w-gram polynomial hashes mod 2^64, O(n) via prefix sums.
+
+    h[i] = sum_j arr[i+j] * BASE^(w-1-j)  (mod 2^64).  Rewrites as
+    (sum_{k=i}^{i+w-1} arr[k] * inv^k) * BASE^(i+w-1) with inv = BASE^-1
+    mod 2^64 (BASE is odd, so the inverse exists); the inner sum is a
+    cumsum difference.  All uint64 ops wrap mod 2^64 (C semantics), so the
+    values are bit-identical to the direct windowed sum — but one pass over
+    the bytes instead of w, and no (n, w) temporary.
+    """
+    N = len(arr)
+    n = N - w + 1
+    base = int(_WINNOW_BASE)
+    inv = pow(base, -1, 1 << 64)
+    invpow = np.ones(N, dtype=np.uint64)
+    invpow[1:] = np.uint64(inv)
+    invpow = np.cumprod(invpow)             # inv^0 .. inv^(N-1), wraps mod 2^64
+    csum = np.cumsum(arr * invpow)          # prefix sums of arr[k] * inv^k
+    part = csum[w - 1 :].copy()
+    part[1:] -= csum[: n - 1]               # sum_{k=i}^{i+w-1} arr[k] inv^k
+    basepow = np.full(n, np.uint64(base), dtype=np.uint64)
+    basepow[0] = np.uint64(pow(base, w - 1, 1 << 64))
+    return part * np.cumprod(basepow)       # * BASE^(i+w-1)
+
+
+def _windowed_rightmost_argmin(h: np.ndarray, W: int) -> np.ndarray:
+    """pos[i] = index of the RIGHTMOST minimum of h[i : i+W] — the winnowing
+    selection rule — for every window, in O(n) total (van Herk / Gil-Werman
+    blockwise min, extended to rightmost-tie argmin).
+
+    Blocks of size W; window i spans a suffix of block i//W and a prefix of
+    the next block, so it is answered by combining a per-block suffix
+    rightmost-argmin with a per-block prefix rightmost-argmin, preferring the
+    prefix (right) side on value ties.  Each scan is a masked
+    minimum/maximum.accumulate — no per-window work.
+    """
+    n = len(h)
+    m = n - W + 1
+    nblocks = -(-n // W)
+    pad = nblocks * W - n
+    hp = np.concatenate([h, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))]) if pad else h
+    v = hp.reshape(nblocks, W)
+    idx = np.arange(W, dtype=np.int64)
+
+    # prefix scan (left -> right): an element updates the running argmin iff
+    # it EQUALS the running min including itself (<= keeps the rightmost tie)
+    run = np.minimum.accumulate(v, axis=1)
+    pref = np.maximum.accumulate(np.where(v <= run, idx, np.int64(-1)), axis=1)
+
+    # suffix scan (right -> left): an element wins iff STRICTLY below the min
+    # of everything to its right (strict keeps the rightmost tie); the answer
+    # for position j is then the first winner at or after j
+    rrun = np.minimum.accumulate(v[:, ::-1], axis=1)[:, ::-1]
+    upd = np.empty_like(v, dtype=bool)
+    upd[:, :-1] = v[:, :-1] < rrun[:, 1:]
+    upd[:, -1] = True
+    big = np.int64(nblocks * W)
+    suf = np.minimum.accumulate(
+        np.where(upd, idx, big)[:, ::-1], axis=1
+    )[:, ::-1]
+
+    off = (np.arange(nblocks, dtype=np.int64) * W)[:, None]
+    pref_g = (pref + off).reshape(-1)
+    suf_g = (suf + off).reshape(-1)
+
+    i = np.arange(m, dtype=np.int64)
+    s = suf_g[i]                # rightmost-argmin of h[i .. block_end(i)]
+    p = pref_g[i + W - 1]       # rightmost-argmin of h[block_start(e) .. e]
+    # prefix side is the right half (ties -> rightmost); padded positions can
+    # never win: the only padded-valued candidates sit on the suffix side of
+    # the final block, and p <= tie always prefers the in-range prefix side
+    return np.where(hp[p] <= hp[s], p, s)
+
+
 def winnow_fingerprints(text: str, cfg: FingerprintConfig) -> list[tuple[int, int]]:
     """Selected (hash, position) fingerprints per Schleimer et al. (SIGMOD'03).
 
@@ -181,8 +255,14 @@ def winnow_fingerprints(text: str, cfg: FingerprintConfig) -> list[tuple[int, in
     cfg.substring_min_len share at least one selected fingerprint — the
     distributed replacement for the reference-inspired suffix-array pass
     (SURVEY.md G4): explode fingerprints, groupBy hash, verify candidates by
-    seed-and-extend.  Rolling 64-bit polynomial hash over bytes, vectorized;
-    window-min selection via a strided view.
+    seed-and-extend.
+
+    Both stages are linear: the w-gram rolling hash via modular-inverse
+    prefix sums (_gram_hashes) and the window-min selection via blockwise
+    scans (_windowed_rightmost_argmin) — at the default config (w=64,
+    window=193) this replaces ~257 numpy ops per byte with ~10, and the
+    selected (hash, pos) set is bit-identical to the direct quadratic
+    evaluation (tests/test_kernels.py parity suite).
     """
     data = text.encode("utf-8")
     w = cfg.winnow_gram
@@ -190,23 +270,12 @@ def winnow_fingerprints(text: str, cfg: FingerprintConfig) -> list[tuple[int, in
         return []
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     n = len(arr) - w + 1
-    base = int(_WINNOW_BASE)
-    powers = np.array(
-        [pow(base, w - 1 - i, 1 << 64) for i in range(w)], dtype=np.uint64
-    )
-    # fully vectorized per-window polynomial hash; O(n*w) multiplies but
-    # numpy-batched and cache-friendly for typical web docs (<1 MB)
-    win = np.lib.stride_tricks.sliding_window_view(arr, w)  # (n, w)
-    h = (win * powers).sum(axis=1, dtype=np.uint64) & _MASK64
+    h = _gram_hashes(arr, w)
     window = cfg.winnow_window
     if n <= window:
-        pos = int(np.argmin(h))
+        pos = int(np.argmin(h))  # single window: leftmost-min (legacy parity)
         return [(_as_i64(h[pos]), pos)]
-    wins = np.lib.stride_tricks.sliding_window_view(h, window)  # (n-window+1, window)
-    # rightmost-min per winnowing rule: argmin on reversed window
-    rev_arg = wins[:, ::-1].argmin(axis=1)
-    pos = (np.arange(wins.shape[0]) + (window - 1 - rev_arg)).astype(np.int64)
-    sel = np.unique(pos)
+    sel = np.unique(_windowed_rightmost_argmin(h, window))
     return [(_as_i64(h[p]), int(p)) for p in sel]
 
 

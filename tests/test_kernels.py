@@ -116,3 +116,62 @@ def test_hamming64():
     assert kernels.hamming64(0, 0) == 0
     assert kernels.hamming64(0, -1) == 64
     assert kernels.hamming64(0b1011, 0b0010) == 2
+
+
+# --- linear winnow kernel vs direct quadratic evaluation -------------------
+# winnow_fingerprints computes gram hashes via modular-inverse prefix sums
+# and window selection via blockwise scans; this reference evaluates the
+# SIGMOD'03 definition directly (explicit (n, w) window products, explicit
+# per-window reversed argmin).  The selected (hash, pos) sets must be
+# bit-identical — the oracle rows and golden clusters pin the old values.
+
+
+def _winnow_quadratic(text, cfg):
+    data = text.encode("utf-8")
+    w = cfg.winnow_gram
+    if len(data) < w:
+        return []
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(arr) - w + 1
+    base = int(kernels._WINNOW_BASE)
+    powers = np.array([pow(base, w - 1 - i, 1 << 64) for i in range(w)], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(arr, w)
+    h = (win * powers).sum(axis=1, dtype=np.uint64)
+    window = cfg.winnow_window
+    if n <= window:
+        pos = int(np.argmin(h))
+        return [(kernels._as_i64(h[pos]), pos)]
+    wins = np.lib.stride_tricks.sliding_window_view(h, window)
+    rev_arg = wins[:, ::-1].argmin(axis=1)
+    pos = (np.arange(wins.shape[0]) + (window - 1 - rev_arg)).astype(np.int64)
+    return [(kernels._as_i64(h[p]), int(p)) for p in np.unique(pos)]
+
+
+def test_winnow_linear_matches_quadratic_boundaries():
+    """Exact parity at every length boundary (empty, < gram, == gram,
+    single-window, first multi-window) and on tie-heavy inputs (constant and
+    short-period texts exercise the rightmost-tie rule in every scan)."""
+    from bigtrees_spark.config import FingerprintConfig
+
+    rng = np.random.default_rng(11)
+    for cfg in (CFG, FingerprintConfig(winnow_gram=4, substring_min_len=12)):
+        w, win = cfg.winnow_gram, cfg.winnow_window
+        for L in (0, w - 1, w, w + 1, w + win - 1, w + win, w + win + 1, 5 * win):
+            texts = [
+                "a" * L,
+                "".join(rng.choice(list("ab"), size=L)) if L else "",
+                "".join(chr(c) for c in rng.integers(32, 127, size=L)),
+                ("xyz123" * (L // 6 + 1))[:L],
+            ]
+            for t in texts:
+                assert kernels.winnow_fingerprints(t, cfg) == _winnow_quadratic(t, cfg), (
+                    cfg.winnow_gram,
+                    L,
+                    t[:20],
+                )
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="abcxyz 123é", min_size=0, max_size=1200))
+def test_winnow_linear_matches_quadratic_property(t):
+    assert kernels.winnow_fingerprints(t, CFG) == _winnow_quadratic(t, CFG)
