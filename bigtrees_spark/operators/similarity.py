@@ -24,15 +24,20 @@ from pyspark.sql.types import ArrayType, LongType
 from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
 
 
-def _cosine(a, b):  # Column helper: cosine similarity of two float arrays
-    dot = F.aggregate(
+def _dot(a, b):  # Column helper: dot product of two float arrays
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+
+
+def _norm(a):  # Column helper: L2 norm of a float array
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _cosine(a, b):  # Column helper: cosine similarity of two float arrays
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -89,15 +94,26 @@ def brute_force_topk(
     (_topk_per_query) so a handful of queries against a 10^12-vector corpus
     never serializes each query's scores into one sort task or one
     aggregation buffer.  Self-matches (same id) are excluded.
+
+    Norms are projected ONCE per side before the cross join (N + Q array
+    aggregations) instead of inside the pair expression (2 x N x Q) — the
+    same doubles in the same order, so cosine is bit-identical, at a third
+    of the JVM array work per pair.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     return _topk_per_query(scored, k)
 
@@ -155,10 +171,17 @@ def lsh_neardup_pairs(
     from bigtrees_spark.operators import lsh
 
     bands_udf = make_hyperplane_udf(dim, n_bits, seed)
+    # norm rides the item struct (computed once per vector, not per pair);
+    # it sits AFTER id, so pair ordering — struct comparison, decided by the
+    # distinct id in the first field — is unchanged.  Project-then-struct:
+    # field names come from the projection (aliases on computed expressions
+    # inside F.struct are not preserved as field names).
     items = vectors.select(
-        F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).alias("item"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("n"),
         F.explode(bands_udf(F.col(vec_col))).alias("band_key"),
-    )
+    ).select(F.struct("id", "v", "n").alias("item"), "band_key")
     pairs = lsh._skewcapped_pairs(
         items, ["band_key"], max_bucket, ctx=ctx, skew_name="lsh_ann"
     ).select(
@@ -166,9 +189,13 @@ def lsh_neardup_pairs(
         F.col("r.id").alias("id_r"),
         F.col("l.v").alias("v_l"),
         F.col("r.v").alias("v_r"),
+        F.col("l.n").alias("n_l"),
+        F.col("r.n").alias("n_r"),
     )
     return (
-        pairs.withColumn("cosine", _cosine(F.col("v_l"), F.col("v_r")))
+        pairs.withColumn(
+            "cosine", _dot(F.col("v_l"), F.col("v_r")) / (F.col("n_l") * F.col("n_r"))
+        )
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_l", "id_r", "cosine")
     )
@@ -313,15 +340,23 @@ def ivf_topk(
             corpus, dim, n_centroids, vec_col=vec_col, seed=seed
         )
     assign = make_centroid_udf(dim, n_centroids, n_probe, seed, centroids=centroids)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),  # corpus norms once, not per pair
+    )
     c = c.withColumn("list_id", F.element_at(assign(F.col("cv")), 1))  # nearest only
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
     q = q.withColumn("list_id", F.explode(assign(F.col("qv"))))        # probe lists
 
     scored = (
         q.join(c, "list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     # a query appears once per probed list, so the same (query, neighbor)
     # cannot duplicate (corpus vectors live in exactly one list); the
