@@ -271,13 +271,20 @@ def main() -> None:
     try:
         # warm-up: spin Python UDF workers, JIT the codegen paths, touch the
         # parquet footers — the timed section measures the engine, not
-        # process startup (tasty-bench-style warm runs)
-        from pyspark.sql import functions as F
+        # process startup (tasty-bench-style warm runs).  EVERY query warms
+        # once at the smallest SF (leg 1 used to run the non-dedup queries
+        # cold and come in 2-3x high, wasting one of the two min-of legs);
+        # falls back to a 400-doc dedup warm when no smaller SF exists.
+        warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+            for fn in QUERIES.values():
+                fn(spark, warm_dir)
+        else:
+            from bigtrees_spark.plans.pipeline import near_dedup_pipeline
 
-        warm = _corpus(spark, sf_dir).limit(400)
-        from bigtrees_spark.plans.pipeline import near_dedup_pipeline
-
-        near_dedup_pipeline(warm, persist=False).clusters.count()
+            near_dedup_pipeline(
+                _corpus(spark, sf_dir).limit(400), persist=False
+            ).clusters.count()
 
         # min-of-reps over ALTERNATING full-suite legs (the scaling_minof
         # pattern): the sandbox host is multi-tenant (load 2-20 from

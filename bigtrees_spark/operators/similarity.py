@@ -5,9 +5,10 @@ fingerprints: embedding-cosine near-dup pairs and top-k nearest neighbors.
 
 Two paths (SURVEY.md / task brief):
   * brute-force cosine top-k — the exactness baseline. JVM-side math only:
-    F.zip_with + F.aggregate for dot products inside whole-stage codegen; the
-    top-k is a window row_number (per-query TakeOrdered under AQE).  Cost
-    O(Q x N) — correct tool when Q is small (a query batch) even at huge N.
+    F.zip_with + F.aggregate for dot products inside whole-stage codegen
+    (norms hoisted to one projection per side, not per pair); the top-k is a
+    partition-local bounded reducer + a small final rank (_topk_per_query).
+    Cost O(Q x N) — correct tool when Q is small (a query batch) even at huge N.
   * LSH-bucketed path — random-hyperplane signatures (SimHash for vectors,
     Charikar'02): b x r sign bits per vector; bucket-join on band keys, exact
     cosine re-rank inside buckets. Sub-linear candidate generation at
