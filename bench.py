@@ -265,6 +265,15 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # ambient host load BEFORE any of our own work: once the suite is
+    # running, loadavg mostly reflects the bench itself (32 executor
+    # threads), so per-leg readings overstate neighbor contention
+    try:
+        with open("/proc/loadavg") as f:
+            ambient = float(f.read().split()[0])
+    except OSError:
+        ambient = -1.0
+
     spark = _bench_session(cores)
     timings: dict[str, float] = {}
     n_docs = 0
@@ -335,7 +344,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "legs": legs,
-        "leg_load1": leg_loads,  # host 1-min loadavg at each leg's start
+        "ambient_load1": ambient,  # host loadavg BEFORE the bench's own work
+        "leg_load1": leg_loads,  # loadavg at each leg's start (includes self)
         "sf": sf,
         "docs": n_docs,
         "throughput_docs_per_sec": round(n_docs / timings["near_dedup_e2e"], 1)
