@@ -1,0 +1,190 @@
+"""Streaming near-duplicate DETECTION: verified edges against bounded
+per-bucket state, online, across micro-batches and restarts.
+
+The batch pipeline (plans/pipeline.py) answers "cluster the corpus"; this
+operator answers the ingest-time question a training-data pipeline actually
+asks continuously: "does THIS arriving page near-duplicate anything we
+already kept?" — without re-scanning the corpus per trigger.  Global
+clustering (LSH + CC over everything) deliberately stays a periodic batch
+job (streaming/ingest.py docstring: re-shuffling the world every micro-batch
+is the wrong architecture); the stream emits verified pair EDGES the moment
+the second copy arrives, which is exactly what keep-first filtering and
+freshness monitoring need.
+
+Shape (all stages Spark-native):
+
+  readStream pages
+    -> fingerprint UDF (same kernels as batch: signatures can never diverge)
+    -> explode LSH bands (skinny: url, shingles, band keys)
+    -> groupBy(band_idx, band_hash).applyInPandasWithState
+         state  = up to `cap` retained (url, shingle-blob) entries per bucket
+         output = (url_l, url_r, jaccard) exact-verified edges
+    -> sink (foreachBatch parquet here; Kafka/Iceberg-upsert in production)
+
+Design for 10^12-doc scale:
+  * state is sharded by the band key — a 1000-executor cluster partitions
+    BUCKETS, and each bucket retains at most `cap` entries (keep-first:
+    the bounded analog of the batch path's rank-chain fallback — late
+    arrivals in a boilerplate mega-bucket still verify against the retained
+    representatives, so every emitted component stays CONNECTED to the
+    bucket even though post-cap arrivals don't pair among themselves);
+  * per-arrival work is <= n_bands x cap exact-Jaccard comparisons on int32
+    shingle arrays (numpy merge-intersect, Arrow-batched — no per-row
+    Python round trips, no JVM<->Python text traffic);
+  * the same pair surfacing from several bands dedups in the sink reader
+    (distinct_edges), mirroring candidate_pairs' distinct();
+  * idle buckets expire via an optional processing-time timeout so state
+    doesn't grow with the all-time distinct-bucket count.
+
+Reference tie-in: the closest reference behavior is the in-memory DupeMap
+accumulated during a scan (/root/reference/lib/System/Directory/BigTrees/
+DupeMap.hs:72-114) — this is that map as managed, restart-surviving,
+executor-sharded state, generalized from exact to near duplicates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
+from bigtrees_spark.functions.spark_udfs import make_fingerprint_udf
+from bigtrees_spark.streaming.ingest import WEB_PAGES_DDL
+
+EDGES_SCHEMA = "url_l string, url_r string, jaccard double"
+_STATE_SCHEMA = "urls array<string>, blobs array<binary>"
+
+STREAM_BUCKET_CAP = 50  # retained entries per band bucket (keep-first)
+
+
+def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique int32 shingle arrays — the SAME
+    predicate as the batch verify (lsh.verify_pairs) and the oracle."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+def make_bucket_matcher(cfg: FingerprintConfig, cap: int):
+    """State function for one LSH bucket: verify arrivals against retained
+    entries (and earlier arrivals in the same batch), emit edges >= the
+    config threshold, retain keep-first up to `cap`."""
+    thr = cfg.jaccard_threshold
+
+    def match_bucket(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # idle bucket: free its state, emit nothing
+            state.remove()
+            return
+        if state.exists:
+            urls, blobs = state.get
+            urls = list(urls)
+            shingles = [np.frombuffer(b, dtype=np.int32) for b in blobs]
+        else:
+            urls, shingles = [], []
+        known = set(urls)
+        ls, rs, js = [], [], []
+        for pdf in pdfs:
+            # deterministic within-batch order (input row order is not)
+            pdf = pdf.sort_values("url", kind="mergesort")
+            for url, sh in zip(pdf["url"], pdf["shingles"]):
+                if url in known:  # replayed row (at-least-once source)
+                    continue
+                arr = np.asarray(sh, dtype=np.int32)
+                for seen_url, seen_sh in zip(urls, shingles):
+                    j = _jaccard(arr, seen_sh)
+                    if j >= thr:
+                        lo, hi = sorted((seen_url, url))
+                        ls.append(lo)
+                        rs.append(hi)
+                        js.append(j)
+                if len(urls) < cap:  # keep-first retention
+                    urls.append(url)
+                    shingles.append(arr)
+                    known.add(url)
+        state.update((urls, [s.tobytes() for s in shingles]))
+        if ls:
+            yield pd.DataFrame({"url_l": ls, "url_r": rs, "jaccard": js})
+
+    return match_bucket
+
+
+def neardup_edges_stream(
+    pages: DataFrame,
+    cfg: FingerprintConfig = DEFAULT_CONFIG,
+    cap: int = STREAM_BUCKET_CAP,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming pages(url, text, ...) -> update-mode stream of verified
+    near-dup edges (url_l < url_r, jaccard >= cfg.jaccard_threshold).
+
+    idle_timeout_ms: expire a bucket's state after that long without
+    arrivals (processing-time) — the state-size knob for long-running
+    queries; None keeps state for the life of the checkpoint."""
+    fp = make_fingerprint_udf(cfg, compute_simhash=False)
+    banded = (
+        pages.select("url", fp(F.col("text")).alias("f"))
+        .select(
+            "url",
+            F.col("f.shingles").alias("shingles"),
+            F.posexplode(F.col("f.bands")).alias("band_idx", "band_hash"),
+        )
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        make_bucket_matcher(cfg, cap),
+        EDGES_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        timeout,
+    )
+
+
+def start_neardup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sink_dir: str,
+    cfg: FingerprintConfig = DEFAULT_CONFIG,
+    cap: int = STREAM_BUCKET_CAP,
+):
+    """Run-once (availableNow) streaming near-dup pass over new files in
+    source_dir; edges append to sink_dir parquet.  Restarting with the same
+    checkpoint resumes bucket state, so a twin arriving in a LATER batch
+    still pairs with its original — the property a batch job only gets by
+    re-scanning everything."""
+    src = spark.readStream.schema(WEB_PAGES_DDL).parquet(source_dir)
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink_dir)
+
+    return (
+        neardup_edges_stream(src, cfg, cap)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def distinct_edges(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Edge view over the sink: one row per (url_l, url_r), max jaccard.
+    Collapses multi-band emissions AND foreachBatch at-least-once replays
+    (replayed batches re-append identical rows)."""
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("url_l", "url_r")
+        .agg(F.max("jaccard").alias("jaccard"))
+    )

@@ -1,0 +1,109 @@
+"""Streaming near-dup detection (streaming/neardup.py): verified edges
+across micro-batches and restarts from bounded per-bucket state."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from bigtrees_spark.config import DEFAULT_CONFIG
+
+
+def _pages(spark, rows):
+    ts = datetime.datetime(2025, 1, 1)
+    data = [(u, ts, None, t, "en") for u, t in rows]
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def _text(seed_words: list[str], n: int = 60) -> str:
+    """n-token doc by cycling seed words with positional suffixes (same
+    derivation spirit as the fixture corpus: unique docs, twin via
+    truncation)."""
+    return " ".join(f"{seed_words[i % len(seed_words)]}{i}" for i in range(n))
+
+
+def _twin(text: str) -> str:
+    """Drop the last 3 tokens — the standard near-dup twin (jaccard ~0.95
+    at 60 tokens, above the default threshold)."""
+    return " ".join(text.split()[:-3])
+
+
+@pytest.mark.timeout(300)
+def test_cross_batch_twin_detected_after_restart(spark, tmp_path):
+    from bigtrees_spark.streaming.neardup import distinct_edges, start_neardup_stream
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    a = _text(["alpha", "bravo", "car"])
+    b = _text(["delta", "echo", "fox"])
+
+    # batch 1: two unrelated docs -> no edges
+    _pages(spark, [("u:a", a), ("u:b", b)]).write.mode("append").parquet(src)
+    q = start_neardup_stream(spark, src, ckpt, sink)
+    q.awaitTermination(120)
+
+    # batch 2, RESTARTED query: a's twin arrives -> the edge must come from
+    # resumed bucket state, not from any rescan of batch 1
+    _pages(spark, [("u:a2", _twin(a)), ("u:c", _text(["golf", "hotel", "ink"]))]).write.mode(
+        "append"
+    ).parquet(src)
+    q = start_neardup_stream(spark, src, ckpt, sink)
+    q.awaitTermination(120)
+
+    edges = {(r.url_l, r.url_r): r.jaccard for r in distinct_edges(spark, sink).collect()}
+    assert ("u:a", "u:a2") in edges
+    assert edges[("u:a", "u:a2")] >= DEFAULT_CONFIG.jaccard_threshold
+    # unrelated docs never pair
+    assert all({"u:b", "u:c"} - {l, r} for (l, r) in edges)
+
+
+@pytest.mark.timeout(300)
+def test_within_batch_twins_and_replay_dedup(spark, tmp_path):
+    from bigtrees_spark.streaming.neardup import distinct_edges, start_neardup_stream
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    d = _text(["kilo", "lima", "mike"])
+    _pages(spark, [("u:d", d), ("u:d2", _twin(d))]).write.mode("append").parquet(src)
+    q = start_neardup_stream(spark, src, ckpt, sink)
+    q.awaitTermination(120)
+
+    got = distinct_edges(spark, sink).collect()
+    assert {(r.url_l, r.url_r) for r in got} == {("u:d", "u:d2")}
+    # the pair surfaces from MANY shared bands; the sink view must still
+    # hold exactly one row for it (this is the multi-band dedup contract)
+    assert len(got) == 1
+
+
+@pytest.mark.timeout(300)
+def test_capped_bucket_stays_connected(spark, tmp_path):
+    """With cap=2, four byte-identical docs (one mega bucket per band)
+    cannot pair all-ways — but every post-cap arrival must still edge to a
+    RETAINED representative, so the component stays connected (the
+    streaming analog of the batch rank-chain fallback)."""
+    from bigtrees_spark.streaming.neardup import distinct_edges, start_neardup_stream
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    t = _text(["nova", "oscar", "papa"])
+    urls = [f"u:{i}" for i in range(4)]
+    _pages(spark, [(u, t) for u in urls]).write.mode("append").parquet(src)
+    q = start_neardup_stream(spark, src, ckpt, sink, cap=2)
+    q.awaitTermination(120)
+
+    edges = [(r.url_l, r.url_r) for r in distinct_edges(spark, sink).collect()]
+    # union-find connectivity over the emitted edges
+    parent = {u: u for u in urls}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for l, r in edges:
+        parent[find(l)] = find(r)
+    assert len({find(u) for u in urls}) == 1
+    # retention is bounded: the two retained docs pair, later arrivals pair
+    # only against the retained two -> strictly fewer than all 6 pairs
+    assert len(edges) < 6
