@@ -55,7 +55,7 @@ from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
 from bigtrees_spark.functions.spark_udfs import make_fingerprint_udf
 from bigtrees_spark.streaming.ingest import WEB_PAGES_DDL
 
-EDGES_SCHEMA = "url_l string, url_r string, jaccard double"
+EDGES_SCHEMA = "url_l string, url_r string, jaccard double, url_new string"
 _STATE_SCHEMA = "urls array<string>, blobs array<binary>"
 
 STREAM_BUCKET_CAP = 50  # retained entries per band bucket (keep-first)
@@ -90,7 +90,7 @@ def make_bucket_matcher(cfg: FingerprintConfig, cap: int):
         else:
             urls, shingles = [], []
         known = set(urls)
-        ls, rs, js = [], [], []
+        ls, rs, js, news = [], [], [], []
         for pdf in pdfs:
             # deterministic within-batch order (input row order is not)
             pdf = pdf.sort_values("url", kind="mergesort")
@@ -105,13 +105,16 @@ def make_bucket_matcher(cfg: FingerprintConfig, cap: int):
                         ls.append(lo)
                         rs.append(hi)
                         js.append(j)
+                        news.append(url)  # the ARRIVAL side, for keep-first
                 if len(urls) < cap:  # keep-first retention
                     urls.append(url)
                     shingles.append(arr)
                     known.add(url)
         state.update((urls, [s.tobytes() for s in shingles]))
         if ls:
-            yield pd.DataFrame({"url_l": ls, "url_r": rs, "jaccard": js})
+            yield pd.DataFrame(
+                {"url_l": ls, "url_r": rs, "jaccard": js, "url_new": news}
+            )
 
     return match_bucket
 
@@ -188,3 +191,18 @@ def distinct_edges(spark: SparkSession, sink_dir: str) -> DataFrame:
         .groupBy("url_l", "url_r")
         .agg(F.max("jaccard").alias("jaccard"))
     )
+
+
+def neardup_arrivals(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """url_new values that near-duplicated something already seen — the
+    DROP set for keep-first ingest filtering (anti-join kept pages against
+    this; the retained originals never appear as url_new)."""
+    return spark.read.parquet(sink_dir).select("url_new").distinct()
+
+
+def keep_first_pages(pages: DataFrame, spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Keep-first view of a pages table given the edge sink: drops every
+    page whose url arrived AFTER a near-identical page (broadcast anti-join
+    on the bounded drop set)."""
+    drops = neardup_arrivals(spark, sink_dir).withColumnRenamed("url_new", "url")
+    return pages.join(drops, "url", "left_anti")

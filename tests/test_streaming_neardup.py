@@ -58,6 +58,14 @@ def test_cross_batch_twin_detected_after_restart(spark, tmp_path):
     # unrelated docs never pair
     assert all({"u:b", "u:c"} - {l, r} for (l, r) in edges)
 
+    # keep-first filter: the ARRIVAL (u:a2) drops, the original (u:a) and
+    # the unrelated docs survive
+    from bigtrees_spark.streaming.neardup import keep_first_pages
+
+    all_pages = spark.read.parquet(src)
+    kept = {r.url for r in keep_first_pages(all_pages, spark, sink).collect()}
+    assert kept == {"u:a", "u:b", "u:c"}
+
 
 @pytest.mark.timeout(300)
 def test_within_batch_twins_and_replay_dedup(spark, tmp_path):
