@@ -202,7 +202,9 @@ def neardup_arrivals(spark: SparkSession, sink_dir: str) -> DataFrame:
 
 def keep_first_pages(pages: DataFrame, spark: SparkSession, sink_dir: str) -> DataFrame:
     """Keep-first view of a pages table given the edge sink: drops every
-    page whose url arrived AFTER a near-identical page (broadcast anti-join
-    on the bounded drop set)."""
+    page whose url arrived AFTER a near-identical page.  Plain left-anti
+    join — the drop set scales with the corpus's near-dup arrival count
+    (on a dup-heavy crawl that is a large fraction of the corpus), so the
+    join strategy is left to AQE rather than forced to broadcast."""
     drops = neardup_arrivals(spark, sink_dir).withColumnRenamed("url_new", "url")
     return pages.join(drops, "url", "left_anti")
