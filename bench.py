@@ -199,7 +199,7 @@ def _time_dedup_at(cores: int, sf_dir: str) -> tuple[float, int]:
     return dt, n
 
 
-def _best_recorded_scaling_pair() -> dict | None:
+def _best_recorded_scaling_pair(here: str | None = None) -> dict | None:
     """Summarize the best attested N-vs-4N pair from the `.scaling_minof_*`
     artifacts committed in the repo root (written by tools/scaling_minof.py,
     full methodology + per-leg load traces in BASELINE.md).  Embedding the
@@ -209,7 +209,8 @@ def _best_recorded_scaling_pair() -> dict | None:
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     best = None
     best_round = -1
     for path in sorted(glob.glob(os.path.join(here, ".scaling_minof*.json"))):

@@ -38,10 +38,11 @@ def test_best_recorded_scaling_pair_prefers_latest_round():
         "wall_efficiency",
     ):
         assert key in best, key
-    # round-4 artifacts carry CPU-seconds -> the steal-resistant decomposition
-    # must surface in the summary
+    # round-4 artifacts carry CPU-seconds -> the steal-resistant work-parity
+    # ratio must surface in the summary (the DERIVED efficiency is gated on
+    # the ratio being plausible, so it may legitimately be absent)
     assert "cpu_work_ratio_hi_over_lo" in best
-    assert "cpu_derived_efficiency" in best
+    assert "cpu_sec_low" in best and "cpu_sec_high" in best
 
 
 def test_best_recorded_pair_math_matches_artifact():
@@ -56,8 +57,16 @@ def test_best_recorded_pair_math_matches_artifact():
     assert best["wall_efficiency"] == raw["scaling_efficiency"]
     cpu_lo = min(raw["cpu_seconds"][str(lo)])
     cpu_hi = min(raw["cpu_seconds"][str(hi)])
-    assert best["cpu_work_ratio_hi_over_lo"] == round(cpu_hi / cpu_lo, 3)
-    assert best["cpu_derived_efficiency"] == round((cpu_lo / lo) / (cpu_hi / hi) / (hi / lo), 3)
+    ratio = cpu_hi / cpu_lo
+    assert best["cpu_work_ratio_hi_over_lo"] == round(ratio, 3)
+    if 0.85 <= ratio <= 1.2:
+        assert best["cpu_derived_efficiency"] == round(
+            (cpu_lo / lo) / (cpu_hi / hi) / (hi / lo), 3
+        )
+    else:
+        # implausible parity (one leg's wall-proportional background CPU
+        # dominates) -> the derived number would exceed 1.0 and is omitted
+        assert "cpu_derived_efficiency" not in best
 
 
 def _load_scaling_tool():
@@ -107,3 +116,43 @@ def test_materialized_scaling_corpus_roundtrip(spark, tmp_path):
         assert sig(stored) == sig(live)
     finally:
         os.environ.pop("SPARK_GRAFT_SCALE_VARIANTS", None)
+
+
+def test_best_recorded_scaling_pair_selection(tmp_path):
+    """Latest-round preference, best-eff-within-round, and the CPU-derived
+    efficiency gate (omitted when the work-parity ratio is implausible)."""
+    import json
+
+    import bench
+
+    def write(name, eff, cpu_lo=None, cpu_hi=None):
+        rec = {
+            "docs": 1000,
+            "cores_low": 2,
+            "cores_high": 8,
+            "scaling_efficiency": eff,
+            "local2": {"sec": 100.0, "docs_per_sec": 10.0},
+            "local8": {"sec": 100.0 / (4 * eff), "docs_per_sec": 10.0 * 4 * eff},
+        }
+        if cpu_lo is not None:
+            rec["cpu_seconds"] = {"2": [cpu_lo], "8": [cpu_hi]}
+        (tmp_path / name).write_text(json.dumps(rec))
+
+    write(".scaling_minof_r2.json", 0.95)               # old round, best eff
+    write(".scaling_minof_r4a.json", 0.70, 100.0, 101.0)
+    write(".scaling_minof_r4b.json", 0.80, 100.0, 77.0)  # implausible ratio
+
+    best = bench._best_recorded_scaling_pair(here=str(tmp_path))
+    # round 4 beats round 2 despite the lower eff; r4b beats r4a within round
+    assert best["source"] == ".scaling_minof_r4b.json"
+    assert best["wall_efficiency"] == 0.80
+    # ratio 0.77 is outside [0.85, 1.2]: raw CPU seconds stay, the derived
+    # efficiency (which would exceed 1.0) is omitted
+    assert best["cpu_sec_low"] == 100.0
+    assert "cpu_derived_efficiency" not in best
+
+    # sane ratio keeps the derived number
+    write(".scaling_minof_r5.json", 0.85, 100.0, 102.0)
+    best = bench._best_recorded_scaling_pair(here=str(tmp_path))
+    assert best["source"] == ".scaling_minof_r5.json"
+    assert "cpu_derived_efficiency" in best
