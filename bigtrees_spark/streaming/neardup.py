@@ -71,10 +71,14 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
-def make_bucket_matcher(cfg: FingerprintConfig, cap: int):
+def make_bucket_matcher(
+    cfg: FingerprintConfig, cap: int, idle_timeout_ms: int | None = None
+):
     """State function for one LSH bucket: verify arrivals against retained
     entries (and earlier arrivals in the same batch), emit edges >= the
-    config threshold, retain keep-first up to `cap`."""
+    config threshold, retain keep-first up to `cap`.  With idle_timeout_ms,
+    the timeout timer is re-armed on every update so a bucket that stops
+    receiving arrivals is expired and removed."""
     thr = cfg.jaccard_threshold
 
     def match_bucket(
@@ -95,7 +99,11 @@ def make_bucket_matcher(cfg: FingerprintConfig, cap: int):
             # deterministic within-batch order (input row order is not)
             pdf = pdf.sort_values("url", kind="mergesort")
             for url, sh in zip(pdf["url"], pdf["shingles"]):
-                if url in known:  # replayed row (at-least-once source)
+                if url in known:
+                    # duplicate url among the RETAINED set: a recrawl of a
+                    # kept page, or a source replay.  (Uncommitted-batch
+                    # replays roll the state back with the batch, so they
+                    # re-verify and re-emit; the sink view dedups those.)
                     continue
                 arr = np.asarray(sh, dtype=np.int32)
                 for seen_url, seen_sh in zip(urls, shingles):
@@ -111,6 +119,8 @@ def make_bucket_matcher(cfg: FingerprintConfig, cap: int):
                     shingles.append(arr)
                     known.add(url)
         state.update((urls, [s.tobytes() for s in shingles]))
+        if idle_timeout_ms is not None:  # re-arm the idle-expiry timer
+            state.setTimeoutDuration(idle_timeout_ms)
         if ls:
             yield pd.DataFrame(
                 {"url_l": ls, "url_r": rs, "jaccard": js, "url_new": news}
@@ -146,7 +156,7 @@ def neardup_edges_stream(
         else GroupStateTimeout.NoTimeout
     )
     return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
-        make_bucket_matcher(cfg, cap),
+        make_bucket_matcher(cfg, cap, idle_timeout_ms),
         EDGES_SCHEMA,
         _STATE_SCHEMA,
         "update",

@@ -115,3 +115,55 @@ def test_capped_bucket_stays_connected(spark, tmp_path):
     # retention is bounded: the two retained docs pair, later arrivals pair
     # only against the retained two -> strictly fewer than all 6 pairs
     assert len(edges) < 6
+
+
+@pytest.mark.timeout(300)
+def test_idle_timeout_expires_bucket_state(spark, tmp_path):
+    """With a tiny idle timeout, a bucket that receives no arrivals for a
+    trigger is expired — a twin arriving AFTER the expiry no longer pairs.
+    (Expiry only fires for groups WITHOUT new data in a batch, so the
+    middle batch touches unrelated buckets.)"""
+    from bigtrees_spark.streaming.neardup import (
+        STREAM_BUCKET_CAP,
+        distinct_edges,
+        neardup_edges_stream,
+    )
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    a = _text(["romeo", "sierra", "tango"])
+
+    def run_once():
+        srcdf = spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).parquet(src)
+
+        def write_batch(df, batch_id):
+            df.write.mode("append").parquet(sink)
+
+        q = (
+            neardup_edges_stream(srcdf, cap=STREAM_BUCKET_CAP, idle_timeout_ms=1)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _pages(spark, [("u:a", a)]).write.mode("append").parquet(src)
+    run_once()
+    # idle trigger touching only unrelated buckets -> a's buckets time out
+    _pages(spark, [("u:x", _text(["uni", "victor", "whisk"]))]).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    # a's twin arrives after expiry: state is gone, no edge may fire
+    _pages(spark, [("u:a2", _twin(a))]).write.mode("append").parquet(src)
+    run_once()
+
+    import os
+
+    edges = (
+        [] if not os.path.isdir(sink) else distinct_edges(spark, sink).collect()
+    )
+    assert all({r.url_l, r.url_r} != {"u:a", "u:a2"} for r in edges)
