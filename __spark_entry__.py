@@ -808,6 +808,59 @@ def q_error_rows(spark, sf_dir):
     ).agg(F.count("*").alias("n_docs"))
 
 
+def q_streaming_twin_edges(spark, sf_dir):
+    """Closed-form oracle for the STREAMING near-dup operator
+    (streaming/neardup.py): micro-batch 1 streams the base docs, the query
+    stops, and micro-batch 2 streams byte-identical twins through a
+    RESTARTED query on the same checkpoint.  Identical text => identical
+    shingle set => identical hash in EVERY LSH band (empty shingle sets get
+    a constant sentinel signature, kernels.py:107), and exact Jaccard 1.0 >=
+    any threshold — so each twin MUST pair with its batch-1 original out of
+    resumed bucket state, with no rescan of batch 1.  One edge
+    (d_i, t_i, 1.0) per doc, SQL-decidable.  cap is set above the corpus
+    size so keep-first retention never evicts an original.  Scratch dirs
+    live under tempfile's tmpdir (the returned frame lazily reads the sink,
+    so they are not deleted here)."""
+    import tempfile
+
+    from bigtrees_spark.streaming.neardup import (
+        distinct_edges,
+        start_neardup_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="bts_stream_twins_")
+    src, ckpt, sink = (f"{work}/{d}" for d in ("src", "ckpt", "sink"))
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def as_pages(frame, fmt):
+        return frame.select(
+            F.format_string(fmt, "doc_id").alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            F.lit(None).cast("string").alias("lang"),
+        )
+
+    for fmt in ("d%08d", "t%08d"):  # batch 1: originals; batch 2: twins
+        as_pages(d, fmt).write.mode("append").parquet(src)
+        q = start_neardup_stream(spark, src, ckpt, sink, cap=1_000_000)
+        q.awaitTermination(300)
+
+    expected = d.select(
+        F.format_string("d%08d", "doc_id").alias("url"),
+        F.format_string("t%08d", "doc_id").alias("turl"),
+    )
+    twin_edges = distinct_edges(spark, sink).select(
+        F.col("url_l").alias("url"), F.col("url_r").alias("turl"), "jaccard"
+    )
+    return expected.join(twin_edges, ["url", "turl"], "left").select(
+        "url",
+        F.col("jaccard").isNotNull().alias("twin_edge"),
+        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dupes": q_exact_dupes,
@@ -846,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_twin_edges": q_simhash_twin_edges,
         "embedding_clusters": q_embedding_clusters,
         "corpus_curation": q_corpus_curation,
+        "streaming_twin_edges": q_streaming_twin_edges,
         "error_rows": q_error_rows,
         "url_scope": q_url_scope,
     }
@@ -1138,6 +1192,15 @@ FROM documents
         "minhash_twin_verdicts": """
 SELECT printf('d%08d', doc_id) AS url,
        len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 5 AS twin_joined
+FROM documents
+""",
+        # byte-identical twins share every LSH band and verify at exactly
+        # Jaccard 1.0, so the streaming operator must emit one (d_i, t_i, 1.0)
+        # edge per doc out of restart-resumed bucket state (see
+        # q_streaming_twin_edges docstring for the derivation)
+        "streaming_twin_edges": """
+SELECT printf('d%08d', doc_id) AS url,
+       TRUE AS twin_edge, 1.0 AS jaccard
 FROM documents
 """,
         "simhash_twins": """
