@@ -34,7 +34,11 @@ Design for 10^12-doc scale:
   * the same pair surfacing from several bands dedups in the sink reader
     (distinct_edges), mirroring candidate_pairs' distinct();
   * idle buckets expire via an optional processing-time timeout so state
-    doesn't grow with the all-time distinct-bucket count.
+    doesn't grow with the all-time distinct-bucket count;
+  * when retained state outgrows executor heap, switch the state store to
+    RocksDB (spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider) — on-disk state, same operator
+    (tests pin the schema round-trips through it).
 
 Reference tie-in: the closest reference behavior is the in-memory DupeMap
 accumulated during a scan (/root/reference/lib/System/Directory/BigTrees/

@@ -118,6 +118,35 @@ def test_capped_bucket_stays_connected(spark, tmp_path):
 
 
 @pytest.mark.timeout(300)
+def test_rocksdb_state_store_cross_batch(spark, tmp_path):
+    """The cross-batch restart contract under the RocksDB state store — the
+    large-state knob for 10^12-doc streams, where retained bucket state
+    outgrows executor heap (the default HDFS-backed provider keeps every
+    loaded store version on-heap; RocksDB keeps it on local disk).  The
+    operator itself is provider-agnostic; this pins that the state schema
+    round-trips through RocksDB and resumes across a query restart."""
+    from bigtrees_spark.streaming.neardup import distinct_edges, start_neardup_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+        a = _text(["xray", "yankee", "zulu"])
+        _pages(spark, [("u:a", a)]).write.mode("append").parquet(src)
+        start_neardup_stream(spark, src, ckpt, sink).awaitTermination(120)
+        _pages(spark, [("u:a2", _twin(a))]).write.mode("append").parquet(src)
+        start_neardup_stream(spark, src, ckpt, sink).awaitTermination(120)
+        edges = {(r.url_l, r.url_r) for r in distinct_edges(spark, sink).collect()}
+        assert ("u:a", "u:a2") in edges
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+
+
+@pytest.mark.timeout(300)
 def test_idle_timeout_expires_bucket_state(spark, tmp_path):
     """With a tiny idle timeout, a bucket that receives no arrivals for a
     trigger is expired — a twin arriving AFTER the expiry no longer pairs.
