@@ -845,7 +845,8 @@ def q_streaming_twin_edges(spark, sf_dir):
     for fmt in ("d%08d", "t%08d"):  # batch 1: originals; batch 2: twins
         as_pages(d, fmt).write.mode("append").parquet(src)
         q = start_neardup_stream(spark, src, ckpt, sink, cap=1_000_000)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):  # never leave a zombie stream in the
+            q.stop()  # shared driver session (availableNow: ~30s at this SF)
 
     expected = d.select(
         F.format_string("d%08d", "doc_id").alias("url"),
