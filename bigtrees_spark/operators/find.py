@@ -86,10 +86,11 @@ def find(
     for rex in cfg.exclude_url_regexes:
         df = df.where(~F.col("url").rlike(rex))
     if exclude_sets:
-        # hash-set exclusion: broadcast left anti-join per set (Find.hs:43-48;
-        # sets are small .bigset analogs, so broadcast is the right plan)
+        # hash-set exclusion: left anti-join per set (Find.hs:43-48).  No
+        # forced broadcast — a .bigset can hold a whole snapshot's digests,
+        # so AQE picks the strategy (small sets still broadcast at runtime)
         for s in exclude_sets:
-            df = df.join(F.broadcast(s.select("sha256")), "sha256", "left_anti")
+            df = df.join(s.select("sha256"), "sha256", "left_anti")
     if cfg.labeled_searches:
         # only labeled rows are listed (Find.hs:160-171: unmatched nodes are
         # skipped when searches are configured)

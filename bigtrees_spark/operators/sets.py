@@ -57,15 +57,18 @@ def set_add(existing: DataFrame | None, additions: list[DataFrame]) -> DataFrame
 
 
 def exclude(docs_fp: DataFrame, hash_set: DataFrame) -> DataFrame:
-    """Set difference by digest: rows of docs_fp NOT in the set — broadcast
-    left anti-join (the reference's --exclude-set, Find.hs:43-48,108)."""
-    return docs_fp.join(F.broadcast(hash_set.select("sha256")), "sha256", "left_anti")
+    """Set difference by digest: left anti-join against the set (the
+    reference's --exclude-set, Find.hs:43-48,108).  No forced broadcast: a
+    user set can be a whole snapshot's digests (unbounded), so the strategy
+    is left to AQE — small sets still become runtime BroadcastHashJoins."""
+    return docs_fp.join(hash_set.select("sha256"), "sha256", "left_anti")
 
 
 def member(docs_fp: DataFrame, hash_set: DataFrame) -> DataFrame:
-    """Set intersection by digest — broadcast left semi-join
-    (setContainsHash, HashSet.hs:341-342, vectorized over the whole table)."""
-    return docs_fp.join(F.broadcast(hash_set.select("sha256")), "sha256", "left_semi")
+    """Set intersection by digest — left semi-join (setContainsHash,
+    HashSet.hs:341-342, vectorized over the whole table).  Join strategy
+    left to AQE for the same unbounded-set reason as exclude()."""
+    return docs_fp.join(hash_set.select("sha256"), "sha256", "left_semi")
 
 
 def set_contains(hash_set: DataFrame, digest: str) -> bool:

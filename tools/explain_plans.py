@@ -53,9 +53,13 @@ def main() -> None:
     fpd = fingerprint_docs(base.select("url", "text"))
     sections["exact dedup groupBy"] = plan_of(dedup.exact_dupe_groups(fpd).limit(10))
 
-    # 3. hash-set exclusion: broadcast left anti-join
+    # 3. hash-set exclusion: anti-join, strategy left to AQE (a user set can
+    # be a whole snapshot's digests — no forced broadcast; small sets still
+    # become runtime BroadcastHashJoins, which is what this plan shows)
     excl = sets.hash_set_from_docs(fpd.limit(20))
-    sections["exclude-set broadcast anti-join"] = plan_of(sets.exclude(fpd, excl))
+    sections["exclude-set anti-join (AQE-chosen strategy)"] = plan_of(
+        sets.exclude(fpd, excl)
+    )
 
     # 4. verify stage: exact Jaccard must be JVM-only (array_intersect/union
     # inside WholeStageCodegen) joining SHINGLE arrays — no text column, no
