@@ -99,7 +99,12 @@ def make_bucket_matcher(
             urls, shingles = [], []
         known = set(urls)
         ls, rs, js, news = [], [], [], []
-        for pdf in pdfs:
+        # one group can arrive as SEVERAL Arrow chunks — concatenate before
+        # sorting, or keep-first retention would depend on chunk boundaries
+        # instead of url order (non-deterministic across reruns/partitioning)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             # deterministic within-batch order (input row order is not)
             pdf = pdf.sort_values("url", kind="mergesort")
             for url, sh in zip(pdf["url"], pdf["shingles"]):
@@ -148,6 +153,11 @@ def neardup_edges_stream(
     fp = make_fingerprint_udf(cfg, compute_simhash=False)
     banded = (
         pages.select("url", fp(F.col("text")).alias("f"))
+        # error rows never enter pairing — the batch pipeline's Err-node rule
+        # (plans/pipeline.py): failed docs share the sentinel signature, so
+        # without this filter every failed doc after the first would pair at
+        # "jaccard 1.0" and be dropped by keep-first as a bogus near-dup
+        .where(F.col("f.error").isNull())
         .select(
             "url",
             F.col("f.shingles").alias("shingles"),
@@ -196,12 +206,24 @@ def start_neardup_stream(
     )
 
 
+def _read_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """The edge sink, or an empty edges frame when no batch ever wrote it
+    (a stream over an empty source fires zero foreachBatch calls, so the
+    directory may not exist)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(sink_dir)
+    except AnalysisException:
+        return spark.createDataFrame([], EDGES_SCHEMA)
+
+
 def distinct_edges(spark: SparkSession, sink_dir: str) -> DataFrame:
     """Edge view over the sink: one row per (url_l, url_r), max jaccard.
     Collapses multi-band emissions AND foreachBatch at-least-once replays
     (replayed batches re-append identical rows)."""
     return (
-        spark.read.parquet(sink_dir)
+        _read_sink(spark, sink_dir)
         .groupBy("url_l", "url_r")
         .agg(F.max("jaccard").alias("jaccard"))
     )
@@ -211,7 +233,7 @@ def neardup_arrivals(spark: SparkSession, sink_dir: str) -> DataFrame:
     """url_new values that near-duplicated something already seen — the
     DROP set for keep-first ingest filtering (anti-join kept pages against
     this; the retained originals never appear as url_new)."""
-    return spark.read.parquet(sink_dir).select("url_new").distinct()
+    return _read_sink(spark, sink_dir).select("url_new").distinct()
 
 
 def keep_first_pages(pages: DataFrame, spark: SparkSession, sink_dir: str) -> DataFrame:

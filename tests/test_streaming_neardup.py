@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 
+import pandas as pd
 import pytest
 
 from bigtrees_spark.config import DEFAULT_CONFIG
@@ -115,6 +116,71 @@ def test_capped_bucket_stays_connected(spark, tmp_path):
     # retention is bounded: the two retained docs pair, later arrivals pair
     # only against the retained two -> strictly fewer than all 6 pairs
     assert len(edges) < 6
+
+
+@pytest.mark.timeout(300)
+def test_error_rows_never_pair(spark, tmp_path, monkeypatch):
+    """Failed docs all share the sentinel (empty-shingle) fingerprint, so
+    without the error filter every failed doc after the first would pair at
+    'jaccard 1.0' and keep-first would drop unrelated pages — the batch
+    pipeline's Err-node rule, enforced here for the stream.  Two forced-error
+    docs must emit NO edge; a genuine twin pair in the same batch must still
+    fire (the filter only removes error rows)."""
+    from pyspark.sql import functions as F
+
+    import bigtrees_spark.streaming.neardup as nd
+    from bigtrees_spark.functions import spark_udfs
+
+    @F.pandas_udf(spark_udfs.FINGERPRINT_SCHEMA)
+    def fp_with_errors(texts: pd.Series) -> pd.DataFrame:
+        cfg = DEFAULT_CONFIG
+        a, b = cfg.minhash_coeffs()
+        rows = []
+        for t in texts:
+            if "ERRDOC" in t:  # sentinel fingerprint + error, like a raise
+                sig, s, bands, n, sh, _ = spark_udfs.fingerprint_row(
+                    "", cfg, False, a, b
+                )
+                rows.append((sig, s, bands, n, sh, "boom"))
+            else:
+                rows.append(spark_udfs.fingerprint_row(t, cfg, False, a, b))
+        return pd.DataFrame(
+            rows, columns=["minhash", "simhash", "bands", "n_tokens", "shingles", "error"]
+        )
+
+    monkeypatch.setattr(
+        nd, "make_fingerprint_udf", lambda cfg, compute_simhash=True: fp_with_errors
+    )
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    a = _text(["alpha", "bravo", "car"])
+    _pages(
+        spark,
+        [
+            ("u:e1", "ERRDOC one"),
+            ("u:e2", "ERRDOC two totally unrelated"),
+            ("u:a", a),
+            ("u:a2", _twin(a)),
+        ],
+    ).write.mode("append").parquet(src)
+    q = nd.start_neardup_stream(spark, src, ckpt, sink)
+    q.awaitTermination(120)
+
+    edges = {(r.url_l, r.url_r) for r in nd.distinct_edges(spark, sink).collect()}
+    assert edges == {("u:a", "u:a2")}
+
+
+@pytest.mark.timeout(300)
+def test_empty_sink_reads_as_no_edges(spark, tmp_path):
+    """A stream that never fired a batch leaves no sink directory; the edge
+    views must read that as 'no edges', not raise — keep_first_pages keeps
+    everything."""
+    from bigtrees_spark.streaming.neardup import distinct_edges, keep_first_pages
+
+    sink = str(tmp_path / "never_written")
+    assert distinct_edges(spark, sink).count() == 0
+    pages = _pages(spark, [("u:a", _text(["alpha", "bravo", "car"]))])
+    assert {r.url for r in keep_first_pages(pages, spark, sink).collect()} == {"u:a"}
 
 
 @pytest.mark.timeout(300)
