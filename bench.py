@@ -107,7 +107,9 @@ def run_dedup(spark, sf_dir) -> int:
     from bigtrees_spark.plans.pipeline import near_dedup_pipeline
 
     corpus = _corpus(spark, sf_dir)
-    res = near_dedup_pipeline(corpus, persist=True)
+    # _corpus already repartitioned to defaultParallelism — skip the
+    # fingerprint-stage repartition (it would re-shuffle the whole corpus)
+    res = near_dedup_pipeline(corpus, persist=True, pre_partitioned=True)
     n = res.clusters.count()
     res.docs_fp.unpersist()
     return n
@@ -190,7 +192,10 @@ def _time_dedup_at(cores: int, sf_dir: str) -> tuple[float, int]:
         near_dedup_pipeline(_corpus(spark, sf_dir).limit(400), persist=False).clusters.count()
         corpus = _scaling_corpus(spark, sf_dir)
         t0 = time.time()
-        res = near_dedup_pipeline(corpus, persist=True)
+        # _scaling_corpus pre-widens to 4x cores before the derivation —
+        # the fingerprint-stage repartition would re-shuffle the whole
+        # derived corpus for nothing
+        res = near_dedup_pipeline(corpus, persist=True, pre_partitioned=True)
         n = res.clusters.count()
         dt = time.time() - t0
         res.docs_fp.unpersist()

@@ -50,6 +50,7 @@ def fingerprint_docs(
     extract_from_html: bool = False,
     compute_simhash: bool = True,
     url_digest_pattern: str | None = None,
+    ensure_parallelism: bool | None = None,
 ) -> DataFrame:
     """web_pages -> docs_fp.  If extract_from_html, re-derive text from the raw
     html bytes with the pinned extractor (byte-identity tested vs oracle).
@@ -58,22 +59,27 @@ def fingerprint_docs(
     the pattern contribute their embedded sha256 instead of a recomputed one,
     so content-addressed payloads (e.g. media blobs with no text) join exact-
     dup groups without their bytes ever being read (Hash.hs:152-166 analog).
+
+    ensure_parallelism: False = the caller guarantees the input is already
+    wide (skip the repartition entirely — inputFiles() can't see an upstream
+    repartition(), so without this a pre-widened corpus would pay a fully
+    redundant corpus-size shuffle); True = always repartition; None = the
+    inputFiles() heuristic below.
     """
     df = pages
     # small inputs arrive as 1-2 parquet splits: the Arrow UDF stage would run
     # on that many tasks regardless of cores.  Repartition up ONLY when the
     # input has fewer splits than the cluster has slots — decided from
     # inputFiles() alone, with NO plan->RDD partition probe anywhere
-    # (df.rdd forces a plan conversion; VERDICT r03 #7).  inputFiles() can't
-    # see an upstream repartition(), so an already-wide few-file/non-file
-    # input pays one redundant repartition of a tiny frame — accepted: at
-    # real scale files >> slots and this branch never fires.
+    # (df.rdd forces a plan conversion; VERDICT r03 #7).
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:  # non-file-backed plans (streams, local relations)
-        n_files = 0
-    if n_files < parallelism:
+    if ensure_parallelism is None:
+        try:
+            n_files = len(df.inputFiles())
+        except Exception:  # non-file-backed plans (streams, local relations)
+            n_files = 0
+        ensure_parallelism = n_files < parallelism
+    if ensure_parallelism:
         df = df.repartition(parallelism)
     if extract_from_html:
         extract = make_extract_checked_udf(cfg.max_html_bytes)

@@ -269,17 +269,20 @@ def substring_edges(
             F.collect_list(F.when(F.col("e.sat"), F.struct("pos_l", "pos_r"))), 1, 4
         ).alias("sat_seeds"),
         # skinny (two urls + int + <=4 pos structs); consumed by both the
-        # resolved and fallback branches — checkpoint so the sliced-extend
-        # Arrow stage runs ONCE, not once per branch
-    ).localCheckpoint(eager=True)
+        # resolved and fallback branches — persist (NOT localCheckpoint: an
+        # unreplicated checkpoint deletes lineage, so one lost executor after
+        # it would fail the job unrecoverably at scale; a persisted frame
+        # recomputes lost partitions from lineage) so the sliced-extend Arrow
+        # stage runs ONCE, not once per branch
+    ).persist()
     resolved = per_pair.where(F.size("sat_seeds") == 0).select(
         "url_l", "url_r", F.col("m_ok").alias("match_len")
     )
-    # per_pair is already materialized (checkpoint above), so this existence
-    # probe is a cheap scan, not a recompute; docs shorter than the slice
-    # window can never saturate, so the common short-doc corpus skips the
-    # fallback branch (two joins + an Arrow stage) entirely
-    if per_pair.where(F.size("sat_seeds") > 0).limit(1).count() == 0:
+    # the full (not limit-1) count materializes EVERY per_pair partition into
+    # the cache, so both branches below read cached rows; docs shorter than
+    # the slice window can never saturate, so the common short-doc corpus
+    # skips the fallback branch (two joins + an Arrow stage) entirely
+    if per_pair.where(F.size("sat_seeds") > 0).count() == 0:
         edges = resolved
     else:
         extend_full = make_full_extend_udf(cfg)

@@ -48,10 +48,14 @@ def near_dedup_pipeline(
     extra_edges: DataFrame | None = None,
     persist: bool = True,
     ctx=None,  # optional runmeta.RunContext: skew metrics recorded per run
+    pre_partitioned: bool = False,  # True: input already wide, skip the
+    # fingerprint-stage repartition (a pre-widened corpus would otherwise pay
+    # a fully redundant corpus-size shuffle — inputFiles() can't see it)
 ) -> DedupResult:
     docs_fp = fingerprint_docs(
         pages,
         cfg,
+        ensure_parallelism=False if pre_partitioned else None,
         extract_from_html=extract_from_html,
         compute_simhash=use_simhash_edges,  # skip the ~40% SimHash cost when unused
     )

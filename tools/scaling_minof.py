@@ -114,9 +114,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     tag = os.path.basename(sf_dir.rstrip("/"))
+    # key the cache on the DERIVATION CODE too: the _SUCCESS short-circuit in
+    # materialize() would otherwise keep serving a corpus derived by an older
+    # bench._scaling_corpus after the derivation changes
+    import hashlib
+    import inspect
+
+    import bench
+
+    deriv = hashlib.sha256(
+        inspect.getsource(bench._scaling_corpus).encode()
+    ).hexdigest()[:8]
     corpus_path = os.environ.get(
         "SPARK_GRAFT_SCALE_CORPUS",
-        f"/tmp/scaling_corpus_{tag}_v{n_variants}.parquet",
+        f"/tmp/scaling_corpus_{tag}_v{n_variants}_{deriv}.parquet",
     )
     materialize(sf_dir, n_variants, corpus_path)
 
