@@ -185,6 +185,7 @@ def start_neardup_stream(
     sink_dir: str,
     cfg: FingerprintConfig = DEFAULT_CONFIG,
     cap: int = STREAM_BUCKET_CAP,
+    idle_timeout_ms: int | None = None,
 ):
     """Run-once (availableNow) streaming near-dup pass over new files in
     source_dir; edges append to sink_dir parquet.  Restarting with the same
@@ -197,7 +198,7 @@ def start_neardup_stream(
         df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink_dir)
 
     return (
-        neardup_edges_stream(src, cfg, cap)
+        neardup_edges_stream(src, cfg, cap, idle_timeout_ms)
         .writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
