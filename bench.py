@@ -111,7 +111,7 @@ def run_dedup(spark, sf_dir) -> int:
     # fingerprint-stage repartition (it would re-shuffle the whole corpus)
     res = near_dedup_pipeline(corpus, persist=True, pre_partitioned=True)
     n = res.clusters.count()
-    res.docs_fp.unpersist()
+    res.unpersist()
     return n
 
 
@@ -198,7 +198,7 @@ def _time_dedup_at(cores: int, sf_dir: str) -> tuple[float, int]:
         res = near_dedup_pipeline(corpus, persist=True, pre_partitioned=True)
         n = res.clusters.count()
         dt = time.time() - t0
-        res.docs_fp.unpersist()
+        res.unpersist()
     finally:
         spark.stop()
     return dt, n

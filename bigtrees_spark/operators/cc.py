@@ -134,6 +134,7 @@ def connected_components(
             F.coalesce(F.col("cluster_id"), F.col("m")).alias("cluster_id"),
         )
     prev = _checksum(e)
+    converged = False
     for _ in range(max_iter):
         # ONE materialization per round: large-star -> small-star fuse into a
         # single lineage (their joins chain fine inside one adaptive query);
@@ -143,8 +144,17 @@ def connected_components(
         e = _small_star(_large_star(e)).localCheckpoint()
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # the label extraction below assumes the star-shaped fixpoint (every
+        # edge is (node, root)); returning labels from a non-fixpoint would
+        # silently SPLIT components — refuse instead
+        raise RuntimeError(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "star rounds (expected ~log2(diameter) rounds; raise max_iter)"
+        )
     # fixpoint: every edge is (node, root). nodes that ARE roots label themselves
     labels = e.select(F.col("u").alias("url"), F.col("v").alias("cluster_id"))
     roots = e.select(F.col("v").alias("url")).distinct().withColumn(

@@ -160,7 +160,7 @@ def verify_pairs(
     pairs: DataFrame,
     docs_fp: DataFrame,
     cfg: FingerprintConfig = DEFAULT_CONFIG,
-    sig_prefilter_margin: float = 0.15,
+    sig_prefilter_margin: float | None = None,
 ) -> DataFrame:
     """Candidate pairs -> verified near-dup edges with EXACT shingle Jaccard.
 
@@ -170,12 +170,24 @@ def verify_pairs(
     (array_intersect/array_union inside whole-stage codegen), so the verify
     stage ships fingerprint arrays instead of document TEXTS (5-20x less
     shuffle at web scale) and never re-tokenizes a doc once per pair.
-    Final predicate == the oracle's definition, so pipeline precision is 1.0
-    and recall is the LSH candidate recall (config.py S-curve: >=0.996 at
-    threshold).
+    Final predicate == the oracle's definition, so pipeline precision is 1.0.
+
+    Honest recall bound: the prefilter ITSELF is probabilistic — a true pair
+    at exact Jaccard J >= threshold has Binomial(n_perms, J) agreeing slots,
+    so with cutoff (threshold - margin) it is dropped with one-sided tail
+    probability P(est < thr - margin).  The default margin is 4.5 sigma
+    (sigma = sqrt(thr(1-thr)/n_perms) ~= 0.044 at 128 perms / thr 0.5), i.e.
+    ~3e-6 per exactly-at-threshold pair and vanishing above it — pipeline
+    recall is the LSH candidate recall (config.py S-curve: >=0.996 at
+    threshold) times (1 - that tail), not exactly the candidate recall.
+    Pass sig_prefilter_margin explicitly to trade exact-verify volume
+    against the tail.
 
     Returns edges: url_l, url_r, jaccard (>= cfg.jaccard_threshold).
     """
+    if sig_prefilter_margin is None:
+        thr = cfg.jaccard_threshold
+        sig_prefilter_margin = 4.5 * (thr * (1.0 - thr) / cfg.n_perms) ** 0.5
     sigs = docs_fp.select("url", "minhash")
     # estimated Jaccard = fraction of agreeing MinHash slots — pure codegen
     # (zip_with + aggregate), no Python round-trip for the prefilter
@@ -238,6 +250,17 @@ def simhash_edges(
     struct(url, simhash), so pairs carry both fingerprints out of the
     pairing stage and the Hamming verify never joins back to docs_fp.
     """
+    # the 4-chunk pigeonhole only GUARANTEES candidates for Hamming <= 3: a
+    # pair differing by >= 4 bits can miss every chunk.  A larger configured
+    # radius would pass the verify filter but silently lose such pairs at
+    # the blocking stage — refuse rather than under-recall.
+    if cfg.simhash_hamming_max > 3 or cfg.simhash_bits != 64:
+        raise ValueError(
+            "simhash_edges blocks on 4 x 16-bit chunks of a 64-bit simhash: "
+            f"requires simhash_bits=64 (got {cfg.simhash_bits}) and "
+            f"simhash_hamming_max <= 3 (got {cfg.simhash_hamming_max}); use "
+            "more/narrower chunks for a larger radius"
+        )
     chunks = docs_fp.select(
         F.struct("url", "simhash").alias("item"),
         F.explode(

@@ -35,9 +35,21 @@ from bigtrees_spark.operators.fingerprint import fingerprint_docs
 @dataclass
 class DedupResult:
     docs_fp: DataFrame      # per-doc fingerprints
-    edges: DataFrame        # verified near-dup edges between representatives
+    edges: DataFrame        # near-dup edges between exact-dup REPRESENTATIVES,
+    # stable schema (url_l, url_r, jaccard): jaccard is the exact verified
+    # value on the MinHash path and null on simhash/extra-edge rows (those
+    # sources verify by Hamming distance / upstream logic, not Jaccard)
     clusters: DataFrame     # url, cluster_id (every input url)
     report: DataFrame       # cluster_id, n_members, savings, members
+    persisted: tuple = ()   # frames this run persist()ed (docs_fp, winners)
+
+    def unpersist(self) -> None:
+        """Release every cache this pipeline run created (docs_fp AND the
+        internal winner-per-digest table) — long-lived sessions that loop
+        over near_dedup_pipeline(persist=True) would otherwise accumulate
+        one orphaned winners cache per run."""
+        for df in self.persisted:
+            df.unpersist()
 
 
 def near_dedup_pipeline(
@@ -99,16 +111,40 @@ def near_dedup_pipeline(
 
     band_src = clean_fp.select("url", "bands").join(rep_urls, "url", "left_semi")
     pairs = lsh.candidate_pairs(band_src, cfg, ctx=ctx)
+    # stable edge schema across every path: (url_l, url_r, jaccard nullable)
     edges = lsh.verify_pairs(pairs, clean_fp, cfg)
     if use_simhash_edges:
         sim_src = clean_fp.select("url", "simhash").join(rep_urls, "url", "left_semi")
-        edges = edges.select("url_l", "url_r").unionByName(
-            lsh.simhash_edges(sim_src, cfg, ctx=ctx).select("url_l", "url_r")
+        edges = edges.unionByName(
+            lsh.simhash_edges(sim_src, cfg, ctx=ctx).select("url_l", "url_r"),
+            allowMissingColumns=True,  # simhash rows carry jaccard = null
         )
     if extra_edges is not None:
-        edges = edges.select("url_l", "url_r").unionByName(
+        # extra edges (e.g. substring_edges) run on the SOURCE and may name
+        # arbitrary MEMBER urls; cluster expansion below labels only exact-dup
+        # REPRESENTATIVES, so map each endpoint to its group's rep first — an
+        # unmapped endpoint (url outside this corpus) passes through as
+        # itself and can still bridge components.
+        url_to_rep = clean_fp.select("url", "sha256").join(
+            winners.withColumnRenamed("url", "_rep"), "sha256"
+        ).select("url", "_rep")
+        mapped = (
             extra_edges.select("url_l", "url_r")
+            .join(
+                url_to_rep.withColumnsRenamed({"url": "url_l", "_rep": "rep_l"}),
+                "url_l", "left",
+            )
+            .join(
+                url_to_rep.withColumnsRenamed({"url": "url_r", "_rep": "rep_r"}),
+                "url_r", "left",
+            )
+            .select(
+                F.coalesce("rep_l", F.col("url_l")).alias("url_l"),
+                F.coalesce("rep_r", F.col("url_r")).alias("url_r"),
+            )
+            .where(F.col("url_l") != F.col("url_r"))
         )
+        edges = edges.unionByName(mapped, allowMissingColumns=True)
 
     labels = cc.connected_components(edges.select("url_l", "url_r"))
 
@@ -126,7 +162,13 @@ def near_dedup_pipeline(
 
     report = cluster_report(clusters, docs_fp.select("url", "nbytes"))
 
-    return DedupResult(docs_fp=docs_fp, edges=edges, clusters=clusters, report=report)
+    return DedupResult(
+        docs_fp=docs_fp,
+        edges=edges,
+        clusters=clusters,
+        report=report,
+        persisted=(docs_fp, winners) if persist else (),
+    )
 
 
 # bounded member preview per report row — the reference prints bounded group

@@ -67,3 +67,13 @@ def test_attach_labels_singletons(spark):
     labels = spark.createDataFrame([("b", "a"), ("a", "a")], "url string, cluster_id string")
     out = {(r.url, r.cluster_id) for r in attach_labels(docs, labels).collect()}
     assert out == {("a", "a"), ("b", "a"), ("c", "c")}
+
+
+def test_cc_raises_without_fixpoint(spark):
+    """Exhausting max_iter before the star fixpoint must RAISE: the label
+    extraction assumes every edge is (node, root), so a non-fixpoint would
+    silently split components."""
+    path = [(f"p{i}", f"p{i+1}") for i in range(9)]  # 10-node path graph
+    df = spark.createDataFrame(path, "url_l string, url_r string")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=1, driver_threshold=0, pre_contract=False)

@@ -251,3 +251,23 @@ def test_substring_sliced_verify_exact_lengths(spark):
     assert got[("a1", "a2")] == len(short.encode()) + 2
     assert got[("b1", "b2")] == len(long_s.encode()) + 2
     assert ("a1", "b1") not in got and ("a1", "b2") not in got
+
+
+def test_extra_edges_endpoints_map_to_reps(spark):
+    """extra_edges (e.g. substring_edges) run on the SOURCE and may name
+    MEMBER urls; the pipeline must map endpoints to their exact-dup group's
+    representative before CC, or the edge silently fails to co-cluster
+    (labels are looked up for reps only)."""
+    rows = [
+        ("u:a", "the quick brown fox jumps over the lazy dog " * 5),
+        ("u:b", "the quick brown fox jumps over the lazy dog " * 5),  # exact dup of a
+        ("u:c", "completely different words about maritime navigation charts " * 5),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    # edge names the NON-rep member u:b (rep is min-url u:a)
+    extra = spark.createDataFrame([("u:b", "u:c")], "url_l string, url_r string")
+    res = near_dedup_pipeline(pages, extra_edges=extra, persist=False)
+    labels = {r.url: r.cluster_id for r in res.clusters.collect()}
+    assert labels["u:a"] == labels["u:b"] == labels["u:c"]
+    # stable edge schema: jaccard present (null on the extra-edge row)
+    assert set(res.edges.columns) == {"url_l", "url_r", "jaccard"}

@@ -125,3 +125,19 @@ def test_small_buckets_unchanged_by_cap_path(spark, pages):
         .select(F.col("l.url").alias("url_l"), F.col("r.url").alias("url_r"))
     )
     assert a == {(r.url_l, r.url_r) for r in exp.collect()}
+
+
+def test_simhash_rejects_radius_beyond_pigeonhole(spark):
+    """The 4x16-bit chunk blocking only guarantees candidates for Hamming <= 3;
+    a wider configured radius must be rejected, not silently under-recalled."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from bigtrees_spark.config import DEFAULT_CONFIG
+    from bigtrees_spark.operators.lsh import simhash_edges
+
+    fp = spark.createDataFrame([("u:a", 5), ("u:b", 9)], "url string, simhash long")
+    bad = dataclasses.replace(DEFAULT_CONFIG, simhash_hamming_max=4)
+    with _pytest.raises(ValueError, match="simhash_hamming_max"):
+        simhash_edges(fp, bad)

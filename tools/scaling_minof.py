@@ -99,7 +99,7 @@ def one_run(cores: int, corpus_path: str, sf_dir: str) -> tuple[float, int, floa
         n = res.clusters.count()
         dt = time.time() - t0
         cpu = _tree_cpu_seconds() - cpu0
-        res.docs_fp.unpersist()
+        res.unpersist()
     finally:
         spark.stop()
     return dt, n, round(cpu, 1)

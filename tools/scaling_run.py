@@ -34,7 +34,7 @@ def main() -> None:
             res = near_dedup_pipeline(corpus, persist=True)
             n = res.clusters.count()
             dt = time.time() - t0
-            res.docs_fp.unpersist()
+            res.unpersist()
         finally:
             spark.stop()
         results[cores] = {"sec": round(dt, 1), "docs": n, "docs_per_sec": round(n / dt, 1)}
