@@ -79,24 +79,31 @@ def _skewcapped_pairs(
         the array of NEIGHBOR_K successor items (F.lead) — so the fallback
         pairs are a pure projection, not a join;
       * singleton buckets (the dominant case at realistic dup rates) are
-        dropped BEFORE the checkpoint materializes anything;
+        dropped BEFORE the materialization point caches anything;
+      * the multi-occupancy rows are persist()ed, NOT localCheckpoint()ed:
+        this is a corpus-scale frame, and an unreplicated checkpoint deletes
+        lineage — one lost executor between here and the last consumer
+        would fail the job unrecoverably at cluster scale, while a persisted
+        frame recomputes lost partitions from lineage.  persist also keeps
+        the window's hash partitioning on the bucket keys (a checkpoint's
+        LogicalRDD reports UnknownPartitioning under AQE), so the small-
+        bucket groupBy below reuses it instead of re-shuffling;
       * small buckets pair inside a bounded collect_list array + a JVM
-        combination expression.  The checkpoint erases partitioning
-        metadata (LogicalRDD reports UnknownPartitioning under AQE), so
-        this groupBy re-shuffles the surviving small-bucket rows once —
-        skinny rows, post-singleton-drop; measured cheaper than the
-        alternative (recomputing the window per branch).
+        combination expression.
     """
     w = Window.partitionBy(*keys)
     wo = w.orderBy("item")
     nbrs = F.array(*[F.lead("item", k).over(wo) for k in range(1, NEIGHBOR_K + 1)])
     sized = items.withColumn("bsz", F.count("*").over(w)).withColumn(
         # prune in the same stage: the K-wide successor arrays exist only on
-        # over-cap rows, so they never ride the checkpoint for normal buckets
+        # over-cap rows, so they never ride the cache for normal buckets
         "nbrs",
         F.when(F.col("bsz") > cap, F.filter(nbrs, lambda x: x.isNotNull())),
     )
-    multi = sized.where(F.col("bsz") > 1).localCheckpoint(eager=True)
+    multi = sized.where(F.col("bsz") > 1).persist()
+    # one deterministic materializing job (the window stage runs ONCE and
+    # caches) before the skew probe / small / big consumers fan out
+    multi.count()
     if ctx is not None:
         # n_buckets counts multi-occupancy buckets (the ones that can pair)
         sizes = multi.groupBy(*keys).agg(F.max("bsz").alias("bsz"))
@@ -204,10 +211,13 @@ def verify_pairs(
         .select("url_l", "url_r")
         # materialize the surviving (skinny) pair set: the prefilter joins
         # otherwise re-plan/re-execute under AQE when fused with the exact
-        # stage (observed 18s vs 1s at sf0.1); the checkpoint also truncates
-        # lineage before the shingle join
-        .localCheckpoint(eager=True)
+        # stage (observed 18s vs 1s at sf0.1).  persist, NOT localCheckpoint:
+        # a checkpoint deletes lineage, so one lost executor between here and
+        # the shingle join would fail the job unrecoverably at cluster scale
+        # (same recoverability rule as the substring per-pair persist)
+        .persist()
     )
+    pre.count()  # eager: populate the cache in one deterministic job
 
     sh = docs_fp.select("url", "shingles")
     inter = F.size(F.array_intersect(F.col("sh_l"), F.col("sh_r")))
