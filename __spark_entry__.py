@@ -465,6 +465,40 @@ def q_bpe_twin_counts(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide repeated-line removal (operators/linededup.py) — the
+    CCNet-style boilerplate-dedup stage a Common-Crawl curation job runs
+    below document granularity.  The synthetic documents are single-line, so
+    the query constructs a deterministic multi-line corpus first: each doc
+    gains an EXCERPT line shared with its pair partner (doc_id rounded down
+    to even — cross-doc body duplication), a universal NAVBAR line, and one
+    of five FOOTER-k lines.  The operator must remove every copy of each
+    repeated line (plus any organically duplicated bodies) and keep unique
+    bodies in order; the oracle replicates the construction and the full
+    frequency/removal semantics in SQL."""
+    from bigtrees_spark.operators.linededup import remove_repeated_segments
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    p = d.select(F.col("doc_id").alias("pid"), F.col("text").alias("ptext"))
+    built = (
+        d.withColumn("pid", F.col("doc_id") - F.col("doc_id") % 2)
+        .join(p, "pid", "left")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\nEXCERPT: "),
+                F.coalesce(F.col("ptext"), F.lit("")),
+                F.lit("\nNAVBAR\nFOOTER-"),
+                (F.col("doc_id") % 5).cast("string"),
+            ).alias("text"),
+        )
+    )
+    return remove_repeated_segments(built).select(
+        _url().alias("url"), "clean_text", "n_kept", "n_removed"
+    )
+
+
 def q_simhash_twins(spark, sf_dir):
     """Closed-form SimHash oracle (VERDICT r02 #4a): byte-identical twin docs
     MUST produce identical simhash fingerprints (the fingerprint is a pure
@@ -882,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "substring_dups": q_substring_dups,
+        "line_dedup": q_line_dedup,
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
         "minhash_twin_verdicts": q_minhash_twin_verdicts,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1203,6 +1238,31 @@ FROM documents
 SELECT printf('d%08d', doc_id) AS url,
        TRUE AS twin_edge, 1.0 AS jaccard
 FROM documents
+""",
+        # full generic semantics in SQL: replicate the multi-line
+        # construction, then frequency-count and strip repeated lines
+        "line_dedup": """
+WITH built AS (
+  SELECT d.doc_id,
+         d.text || chr(10) || 'EXCERPT: ' || coalesce(p.text, '')
+                || chr(10) || 'NAVBAR' || chr(10) || 'FOOTER-' || (d.doc_id % 5)
+         AS text
+  FROM documents d
+  LEFT JOIN documents p ON p.doc_id = d.doc_id - d.doc_id % 2
+),
+seg AS (
+  SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+         unnest(string_split(text, chr(10))) AS seg
+  FROM built
+),
+freq AS (SELECT seg, count(*) AS c FROM seg GROUP BY seg)
+SELECT printf('d%08d', doc_id) AS url,
+       coalesce(string_agg(seg, chr(10) ORDER BY pos) FILTER (WHERE c < 2), '')
+         AS clean_text,
+       count(*) FILTER (WHERE c < 2) AS n_kept,
+       count(*) FILTER (WHERE c >= 2) AS n_removed
+FROM seg JOIN freq USING (seg)
+GROUP BY doc_id
 """,
         "simhash_twins": """
 SELECT printf('d%08d', doc_id) AS url,

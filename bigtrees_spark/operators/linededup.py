@@ -1,0 +1,83 @@
+"""Corpus-wide repeated-line removal (CCNet-style paragraph/line dedup).
+
+Web-text curation's standard intra-corpus dedup stage below the document
+level: split every document into segments (lines/paragraphs), count each
+distinct segment's frequency across the WHOLE corpus, and drop every copy of
+any segment that appears >= min_repeats times (boilerplate: navigation bars,
+cookie banners, footers, licence blurbs).  This is the segment-granularity
+sibling of the reference's whole-file dupe grouping (/root/reference/lib/
+System/Directory/BigTrees/DupeMap.hs:64-119 groups by content hash; here the
+"content" is a line, and the action is removal rather than reporting).
+
+Scale shape (pure Catalyst, no Python):
+  explode            — no shuffle, segments stay with their source partition
+  freq agg           — groupBy sha2(segment) with map-side partial count;
+                       the shuffle ships (32B hash, count) rows only
+  seg >< freq join   — one shuffle of (doc_id, pos, segment, hash); the hot
+                       keys a boilerplate-heavy corpus creates (the same
+                       footer on 10^8 pages) are exactly the AQE skew-join
+                       case (session.py enables skewJoin), and the freq side
+                       of a hot key is a single row, so splitting the fat
+                       side is always safe
+  reassembly agg     — groupBy doc_id; the aggregation buffer holds one
+                       document's OWN segments (bounded by document size,
+                       never by corpus size)
+Grouping/joining on sha2(segment, 256) instead of the raw string keeps the
+frequency shuffle skinny; the same 256-bit-identity convention the exact
+dedup stage uses (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_SEP = "\n"
+DEFAULT_MIN_REPEATS = 2
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = DEFAULT_SEP,
+    min_repeats: int = DEFAULT_MIN_REPEATS,
+) -> DataFrame:
+    """-> (id_col, clean_text, n_kept, n_removed), one row per input row.
+
+    clean_text is the sep-join of the document's segments whose corpus-wide
+    frequency is < min_repeats, in original order; every copy of a repeated
+    segment is dropped (CCNet semantics — the first occurrence is just as
+    much boilerplate as the rest).  A fully-boilerplate document stays in
+    the output with clean_text = '' so downstream length/quality filters
+    see it (paralleling the pipeline's error-ROW convention).
+    """
+    if min_repeats < 2:
+        raise ValueError(f"min_repeats must be >= 2, got {min_repeats}")
+    seg = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), F.lit(-1))
+        ).alias("pos", "seg"),
+    ).withColumn("h", F.sha2(F.col("seg"), 256))
+    freq = seg.groupBy("h").agg(F.count("*").alias("seg_count"))
+    marked = seg.join(freq, "h").withColumn(
+        "dup", F.col("seg_count") >= F.lit(min_repeats)
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("dup"), 0).otherwise(1)).alias("n_kept"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("pos", "seg", "dup"))),
+                        lambda s: ~s["dup"],
+                    ),
+                    lambda s: s["seg"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+        .select(id_col, "clean_text", "n_kept", "n_removed")
+    )

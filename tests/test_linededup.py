@@ -1,0 +1,69 @@
+"""Corpus-wide repeated-line removal (operators/linededup.py)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from bigtrees_spark.operators.linededup import remove_repeated_segments
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # boilerplate FOOTER / NAV lines shared across docs; unique bodies
+        (1, "alpha body one\nNAV\nunique tail a\nFOOTER"),
+        (2, "beta body two\nNAV\nFOOTER"),
+        (3, "gamma body three\nFOOTER"),
+        (4, "NAV\nFOOTER"),          # fully boilerplate -> clean_text ''
+        (5, "solo document, no repeats at all"),
+        (6, "alpha body one\nepsilon tail"),  # body line repeated w/ doc 1
+        (7, ""),                      # empty doc: one empty segment
+        (8, None),                    # null text behaves as empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute(rows, sep="\n", min_repeats=2):
+    segs = {i: ("" if t is None else t).split(sep) for i, t in rows}
+    freq = Counter(s for v in segs.values() for s in v)
+    out = {}
+    for i, v in segs.items():
+        kept = [s for s in v if freq[s] < min_repeats]
+        out[i] = (sep.join(kept), len(kept), len(v) - len(kept))
+    return out
+
+
+def test_matches_brute_force(docs):
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in remove_repeated_segments(docs).collect()
+    }
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    assert got == _brute(rows)
+
+
+def test_repeated_body_line_removed(docs):
+    got = {r.doc_id: r for r in remove_repeated_segments(docs).collect()}
+    assert len(got) == 8  # every input row survives, even fully-removed ones
+    assert got[1].clean_text == "unique tail a"
+    assert got[1].n_removed == 3  # alpha body one, NAV, FOOTER
+    assert got[4].clean_text == "" and got[4].n_kept == 0
+    assert got[5].n_removed == 0
+    # docs 7 and 8 both reduce to one '' segment -> repeated -> removed
+    assert got[7].clean_text == "" and got[7].n_removed == 1
+    assert got[8].clean_text == "" and got[8].n_removed == 1
+
+
+def test_min_repeats_threshold(docs):
+    # FOOTER appears 4x, NAV 3x, 'alpha body one' 2x: at min_repeats=3 the
+    # body pair survives
+    got = {
+        r.doc_id: r for r in remove_repeated_segments(docs, min_repeats=3).collect()
+    }
+    assert got[1].clean_text == "alpha body one\nunique tail a"
+    assert got[6].clean_text == "alpha body one\nepsilon tail"
+    assert got[4].clean_text == ""
+    with pytest.raises(ValueError):
+        remove_repeated_segments(docs, min_repeats=1)

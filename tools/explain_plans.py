@@ -139,6 +139,19 @@ def main() -> None:
         dedup.simplify_dupes(dedup.exact_dupe_groups(fpd), dedup.prefix_dupe_groups(fpd))
     )
 
+    # 4d. repeated-line removal: skinny (32B hash, count) frequency shuffle,
+    # seg><freq join strategy left to AQE (skew-join handles hot boilerplate
+    # lines), reassembly buffer bounded by one document's own segments
+    from bigtrees_spark.operators.linededup import remove_repeated_segments
+
+    lined = base.select(
+        F.col("url").alias("doc_id"),
+        F.concat("text", F.lit("\nNAVBAR\nFOOTER"), F.lit("")).alias("text"),
+    )
+    sections["line dedup: hash-keyed frequency + AQE join + per-doc reassembly"] = plan_of(
+        remove_repeated_segments(lined)
+    )
+
     # 5. URL canonicalization + scope: pure Catalyst expressions
     from bigtrees_spark.operators import urls
 
