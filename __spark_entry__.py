@@ -465,6 +465,25 @@ def q_bpe_twin_counts(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition signals
+    (operators/textstats.py::with_repetition): duplicate-line fraction,
+    duplicate-word fraction, and the occurrence-count fraction of the most
+    frequent word bigram.  Full semantics replicated in the SQL oracle
+    (the synthetic documents are single-line, so dup_line_frac exercises the
+    degenerate 0.0 case here; multi-line behavior is pytest-gated)."""
+    from bigtrees_spark.operators.textstats import with_repetition
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    r = with_repetition(d)
+    return r.select(
+        _url().alias("url"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-wide repeated-line removal (operators/linededup.py) — the
     CCNet-style boilerplate-dedup stage a Common-Crawl curation job runs
@@ -917,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "substring_dups": q_substring_dups,
         "line_dedup": q_line_dedup,
+        "repetition": q_repetition,
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
         "minhash_twin_verdicts": q_minhash_twin_verdicts,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1238,6 +1258,32 @@ FROM documents
 SELECT printf('d%08d', doc_id) AS url,
        TRUE AS twin_edge, 1.0 AS jaccard
 FROM documents
+""",
+        "repetition": """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), w AS (
+  SELECT doc_id,
+         string_split(t, chr(10)) AS lines,
+         CASE WHEN trim(t) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(t), '\\s+') END AS ws
+  FROM base
+), bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS u(i)
+), bt AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS tb FROM (
+    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+  ) GROUP BY doc_id
+)
+SELECT printf('d%08d', doc_id) AS url,
+  round((len(lines) - len(list_distinct(lines)))::DOUBLE
+        / greatest(len(lines), 1), 6) AS dup_line_frac,
+  round(CASE WHEN len(ws) = 0 THEN 0.0
+             ELSE (len(ws) - len(list_distinct(ws)))::DOUBLE / len(ws) END,
+        6) AS dup_word_frac,
+  round(coalesce(tb, 0.0), 6) AS top_bigram_frac
+FROM w LEFT JOIN bt USING (doc_id)
 """,
         # full generic semantics in SQL: replicate the multi-line
         # construction, then frequency-count and strip repeated lines

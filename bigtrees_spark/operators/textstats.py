@@ -78,6 +78,70 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (the quality-filter
+    siblings of corpus-wide dedup — Rae et al. 2021 §A1.3, public work):
+
+      dup_line_frac    fraction of the document's lines that are repeats of
+                       an earlier line (1 - distinct/total)
+      dup_word_frac    same at whitespace-word granularity
+      top_bigram_frac  occurrence-count fraction of the most frequent word
+                       bigram (Gopher uses the character-mass fraction; the
+                       count fraction is the same signal and stays exactly
+                       replicable in portable SQL)
+
+    Line/word fractions are pure per-row expressions (array_distinct inside
+    codegen, no shuffle).  The bigram mode needs a per-(doc, bigram) count:
+    explode -> two partial-aggregatable hash aggs keyed by (id, bigram) then
+    id -> left join back (docs with <2 words get 0.0).  The count shuffle
+    carries (id, short bigram string, count) rows with map-side partial
+    aggregation; grouping by the string itself (not a hash of it) keeps the
+    mode exact and exactly replicable in the SQL oracle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.trim(t)
+    lines = F.split(t, "\n", -1)
+    words = F.split(trimmed, r"\s+", -1)
+    n_lines = F.size(lines).cast("double")
+    n_words = F.when(trimmed == "", F.lit(0)).otherwise(F.size(words)).cast("double")
+    out = df.withColumn(
+        "dup_line_frac",
+        (n_lines - F.size(F.array_distinct(lines))) / F.greatest(n_lines, F.lit(1.0)),
+    ).withColumn(
+        "dup_word_frac",
+        F.when(n_words == 0, F.lit(0.0)).otherwise(
+            (n_words - F.size(F.array_distinct(words))) / n_words
+        ),
+    )
+    wa = df.select(F.col(id_col).alias("_rid"), words.alias("_ws"))
+    bg = wa.select(
+        "_rid",
+        F.explode(
+            F.when(
+                F.size("_ws") >= 2,
+                F.zip_with(
+                    F.slice("_ws", 1, F.size("_ws") - 1),
+                    F.slice("_ws", 2, F.size("_ws") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array())
+        ).alias("_bg"),
+    )
+    top = (
+        bg.groupBy("_rid", "_bg")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("_rid")
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_tot"))
+        .select("_rid", (F.col("_top").cast("double") / F.col("_tot")).alias("top_bigram_frac"))
+    )
+    return (
+        out.join(top, out[id_col] == top["_rid"], "left")
+        .drop("_rid")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+    )
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-stopword language heuristic: per language, count marker-word
     hits; lang_guess = argmax (ties and zero hits -> 'und').  Pure codegen —

@@ -54,3 +54,32 @@ def test_doc_profile_composes(sample):
     cols = set(out.columns)
     assert {"n_words", "n_tokens_bpe", "n_chars", "quality_ok", "lang_guess"} <= cols
     assert out.count() == sample.count()
+
+
+def test_repetition_signals(spark):
+    from bigtrees_spark.operators.textstats import with_repetition
+
+    rows = [
+        (1, "unique one\nunique two\nunique one\nunique one"),  # 4 lines, 2 distinct
+        (2, "spam spam spam spam"),                # words all dup; top bigram 3/3
+        (3, "a b a b a"),                          # bigrams: ab ba ab ba -> top 2/4
+        (4, "all words here differ totally"),      # no repetition
+        (5, ""),                                   # empty -> all 0.0
+        (6, "word"),                               # single word -> no bigrams
+        (7, None),                                 # null text behaves as empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_repetition(df).collect()}
+    assert got[1].dup_line_frac == pytest.approx(0.5)
+    assert got[1].dup_word_frac == pytest.approx(5 / 8)  # 8 words, 3 distinct
+    assert got[2].dup_word_frac == pytest.approx(0.75)
+    assert got[2].top_bigram_frac == pytest.approx(1.0)
+    assert got[3].dup_word_frac == pytest.approx(3 / 5)
+    assert got[3].top_bigram_frac == pytest.approx(0.5)
+    assert got[4].dup_word_frac == 0.0 and got[4].dup_line_frac == 0.0
+    assert got[4].top_bigram_frac == pytest.approx(0.25)  # 4 bigrams all distinct
+    for i in (5, 6, 7):
+        assert got[i].dup_word_frac == 0.0
+        assert got[i].top_bigram_frac == 0.0
+    assert got[6].dup_line_frac == 0.0
+    assert len(got) == 7  # left join keeps bigram-less docs
