@@ -29,6 +29,8 @@ dedup stage uses (operators/dedup.py).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_SEP = "\n"
@@ -56,7 +58,13 @@ def remove_repeated_segments(
     seg = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), F.lit(-1))
+            # sep is a LITERAL separator (it is re-joined verbatim below);
+            # F.split takes a Java regex, so escape metacharacters
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(re.escape(sep)),
+                F.lit(-1),
+            )
         ).alias("pos", "seg"),
     ).withColumn("h", F.sha2(F.col("seg"), 256))
     freq = seg.groupBy("h").agg(F.count("*").alias("seg_count"))

@@ -67,3 +67,16 @@ def test_min_repeats_threshold(docs):
     assert got[4].clean_text == ""
     with pytest.raises(ValueError):
         remove_repeated_segments(docs, min_repeats=1)
+
+
+def test_sep_is_literal_not_regex(spark):
+    # '.' would split on EVERY char if sep were passed as a raw Java regex
+    rows = [(1, "aaa.bbb.ccc"), (2, "ddd.bbb"), (3, "eee")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in remove_repeated_segments(df, sep=".").collect()
+    }
+    assert got[1] == ("aaa.ccc", 2, 1)  # shared 'bbb' segment removed
+    assert got[2] == ("ddd", 1, 1)
+    assert got[3] == ("eee", 1, 0)
