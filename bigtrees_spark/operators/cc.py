@@ -78,6 +78,7 @@ def connected_components(
     max_iter: int = 25,
     driver_threshold: int | None = None,
     pre_contract: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """edges(url_l, url_r) -> labels(url, cluster_id) for every node that
     appears in an edge.  cluster_id = min(url) of the component.
@@ -102,6 +103,24 @@ def connected_components(
     Correctness: m(u) is in u's component, contraction preserves component
     structure, and the component's global min maps to itself — so
     inner-label(m(u)) IS min(component(u)).
+
+    persisted (optional list): the one internal persist() handle that must
+    outlive this call (the pre-contraction map m, consumed lazily by the
+    returned label frame) is appended here so the caller can release it once
+    labels are materialized (the pipeline threads this into
+    DedupResult.persisted).  Without it the entry stays cached until LRU
+    eviction — recoverable either way.  The entry edge set's cache is
+    released internally at its last consumer (driver collect / recursion's
+    entry count / first star round).
+
+    Recoverability (north_rule: resumable at cluster scale): the entry edge
+    set and the pre-contraction map are persist()ed, NOT localCheckpoint()ed
+    — both are corpus-scale frames, and an unreplicated checkpoint deletes
+    lineage, so one lost executor between materialization and last
+    consumption would fail the job unrecoverably; a persisted frame
+    recomputes lost partitions from lineage.  localCheckpoint survives ONLY
+    inside the star loop, where truncating the per-round residual graph's
+    lineage is the point (each round's frame is consumed within the round).
     """
     if driver_threshold is None:
         driver_threshold = DRIVER_CC_MAX_EDGES
@@ -109,14 +128,21 @@ def connected_components(
         edges.select(F.col("url_l").alias("u"), F.col("url_r").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
     if e.count() <= driver_threshold:
-        return _driver_cc(e)
+        # _driver_cc collects to pandas and rebuilds from the driver, so the
+        # returned frame has no lineage on e — release the cache now
+        out = _driver_cc(e)
+        e.unpersist()
+        return out
     if pre_contract:
         sym = _symmetric(e)
         m = sym.groupBy("u").agg(F.min("v").alias("mv"))
-        m = m.select("u", F.least("u", "mv").alias("m")).localCheckpoint()
+        m = m.select("u", F.least("u", "mv").alias("m")).persist()
+        m.count()  # one deterministic materializing job before the fan-out
+        if persisted is not None:
+            persisted.append(m)
         contracted = (
             e.join(m.withColumnsRenamed({"u": "u0", "m": "mu"}), F.col("u") == F.col("u0"))
             .join(m.withColumnsRenamed({"u": "v0", "m": "mv2"}), F.col("v") == F.col("v0"))
@@ -127,21 +153,33 @@ def connected_components(
         # adaptive split, so a fully-collapsed graph answers via the driver
         # path and a still-huge one runs the star loop
         inner = connected_components(
-            contracted, max_iter, driver_threshold, pre_contract=False
+            contracted, max_iter, driver_threshold, pre_contract=False,
+            persisted=persisted,
         )
+        # the recursion eagerly materialized its own entry frame (its first
+        # count), which was e's last consumer — release e's cache; a later
+        # recompute (cache miss in inner) walks e's preserved lineage
+        e.unpersist()
         return m.join(inner.withColumnsRenamed({"url": "m"}), "m", "left").select(
             F.col("u").alias("url"),
             F.coalesce(F.col("cluster_id"), F.col("m")).alias("cluster_id"),
         )
     prev = _checksum(e)
     converged = False
+    first_round = True
     for _ in range(max_iter):
         # ONE materialization per round: large-star -> small-star fuse into a
         # single lineage (their joins chain fine inside one adaptive query);
         # checkpointing each half-step separately doubled the per-round
         # barrier count, which is what dominates CC wall time when the graph
         # is small relative to the round overhead.
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e_next = _small_star(_large_star(e)).localCheckpoint()
+        if first_round:
+            # the (eager) first-round checkpoint was e's last consumer —
+            # release the entry cache here instead of holding it all loop
+            first_round = False
+            e.unpersist()
+        e = e_next
         cur = _checksum(e)
         if cur == prev:
             converged = True

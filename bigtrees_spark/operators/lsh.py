@@ -62,6 +62,7 @@ def _skewcapped_pairs(
     ctx=None,
     skew_name: str = "buckets",
     distinct: bool = True,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Distinct (l, r) pairs (l < r) per bucket, skew-capped — the shared
     pairing core of candidate_pairs and simhash_edges.
@@ -104,6 +105,11 @@ def _skewcapped_pairs(
     # one deterministic materializing job (the window stage runs ONCE and
     # caches) before the skew probe / small / big consumers fan out
     multi.count()
+    if persisted is not None:
+        # hand the cache handle to the caller: the output pair frame reads
+        # `multi` lazily, so release belongs to whoever materializes it last
+        # (pipeline threads this into DedupResult.persisted)
+        persisted.append(multi)
     if ctx is not None:
         # n_buckets counts multi-occupancy buckets (the ones that can pair)
         sizes = multi.groupBy(*keys).agg(F.max("bsz").alias("bsz"))
@@ -141,7 +147,10 @@ def band_table(docs_fp: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(
-    docs_fp: DataFrame, cfg: FingerprintConfig = DEFAULT_CONFIG, ctx=None
+    docs_fp: DataFrame,
+    cfg: FingerprintConfig = DEFAULT_CONFIG,
+    ctx=None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Distinct (url_l, url_r) candidate pairs (url_l < url_r) from LSH buckets.
 
@@ -159,7 +168,8 @@ def candidate_pairs(
     """
     items = band_table(docs_fp).withColumnRenamed("url", "item")
     return _skewcapped_pairs(
-        items, ["band_idx", "band_hash"], cfg.max_bucket_size, ctx=ctx, skew_name="lsh_bands"
+        items, ["band_idx", "band_hash"], cfg.max_bucket_size, ctx=ctx,
+        skew_name="lsh_bands", persisted=persisted,
     ).select(F.col("l").alias("url_l"), F.col("r").alias("url_r"))
 
 
@@ -168,6 +178,7 @@ def verify_pairs(
     docs_fp: DataFrame,
     cfg: FingerprintConfig = DEFAULT_CONFIG,
     sig_prefilter_margin: float | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Candidate pairs -> verified near-dup edges with EXACT shingle Jaccard.
 
@@ -218,6 +229,8 @@ def verify_pairs(
         .persist()
     )
     pre.count()  # eager: populate the cache in one deterministic job
+    if persisted is not None:
+        persisted.append(pre)  # released by the caller after the last read
 
     sh = docs_fp.select("url", "shingles")
     inter = F.size(F.array_intersect(F.col("sh_l"), F.col("sh_r")))
@@ -243,6 +256,7 @@ def simhash_edges(
     cfg: FingerprintConfig = DEFAULT_CONFIG,
     ctx=None,
     chunk_cap: int = SIMHASH_CHUNK_CAP,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Second edge source: SimHash pairs within Hamming radius.
 
@@ -289,7 +303,8 @@ def simhash_edges(
     ).select("item", "c.chunk_idx", "c.chunk_val")
 
     pairs = _skewcapped_pairs(
-        chunks, ["chunk_idx", "chunk_val"], chunk_cap, ctx=ctx, skew_name="simhash_chunks"
+        chunks, ["chunk_idx", "chunk_val"], chunk_cap, ctx=ctx,
+        skew_name="simhash_chunks", persisted=persisted,
     ).select(
         F.col("l.url").alias("url_l"),
         F.col("r.url").alias("url_r"),

@@ -16,11 +16,13 @@ Pipeline shape (all equi-key, no n^2 anywhere):
        -> edges(url_l, url_r, match_len)
 
 Verification makes precision exact: a shared fingerprint is only a candidate;
-the extend step confirms a true >= min_len common substring.  The verify has
-two byte-exact strategies picked by a sampled length probe: short-doc corpora
-extend over full texts in one pass; long-doc corpora extend inside bounded
-substring(text, pos±W) slices so full documents never ride the pair join,
-with a once-per-pair full-text fallback only for window-saturated matches.
+the extend step confirms a true >= min_len common substring.  The verify is
+one byte-exact strategy routed PER DOCUMENT on each row's own length: a doc
+that fits in one slice window ships verbatim (same bytes, statically
+unsaturable); a longer doc ships the bounded substring(text, pos±W) slice so
+full documents never ride the pair join, with a once-per-pair full-text
+fallback only for window-saturated matches.  No corpus-level probe exists to
+misroute: rare huge docs in a mostly-short corpus are sliced by construction.
 """
 
 from __future__ import annotations
@@ -40,14 +42,6 @@ MAX_FP_BUCKET = 50  # fingerprint buckets above this are rank-chained like LSH
 # EXTEND_WINDOW_MULT * substring_min_len bytes per side
 EXTEND_WINDOW_MULT = 2
 
-# corpora whose docs are all below this byte length use the PLAIN one-pass
-# verify: their full texts already are bounded strings, and the sliced
-# path's extra machinery (saturation bookkeeping + an eager checkpoint +
-# the fallback probe) costs more than it saves on short docs.  Both paths
-# are byte-exact, so the sampled length probe below is a performance
-# heuristic, never a correctness decision.
-PLAIN_VERIFY_MAX_BYTES = 4096
-_LEN_PROBE_ROWS = 10_000
 
 
 def winnow_table(docs: DataFrame, cfg: FingerprintConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -139,29 +133,17 @@ def make_full_extend_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
     return extend_full
 
 
-def make_plain_extend_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
-    """pandas UDF: byte-exact extend on full texts — the short-doc verify
-    (every doc below PLAIN_VERIFY_MAX_BYTES, so 'full text' is bounded)."""
-
-    @F.pandas_udf(IntegerType())
-    def extend_plain(
-        tb_l: pd.Series, tb_r: pd.Series, pos_l: pd.Series, pos_r: pd.Series
-    ) -> pd.Series:
-        w = cfg.winnow_gram
-        out = [
-            _extend_bytes(bytes(bl or b""), bytes(br or b""), int(pl), int(pr), w)[0]
-            for bl, br, pl, pr in zip(tb_l, tb_r, pos_l, pos_r)
-        ]
-        return pd.Series(out, dtype="int32")
-
-    return extend_plain
-
-
 def substring_edges(
-    docs: DataFrame, cfg: FingerprintConfig = DEFAULT_CONFIG
+    docs: DataFrame,
+    cfg: FingerprintConfig = DEFAULT_CONFIG,
+    persisted: list | None = None,
 ) -> DataFrame:
     """docs(url, text) -> edges(url_l, url_r, match_len) for pairs sharing a
-    verified verbatim substring >= cfg.substring_min_len bytes."""
+    verified verbatim substring >= cfg.substring_min_len bytes.
+
+    persisted (optional list): internal persist() handles (the skew-capped
+    pairing cache and, on the sliced path, the per-pair extend cache) are
+    appended so the caller can release them after the edges materialize."""
     fps = winnow_table(docs, cfg)
 
     # shared skew-capped pairing core (lsh._skewcapped_pairs): item carries
@@ -171,7 +153,8 @@ def substring_edges(
     # either branch).  distinct=False: the seed groupBy below dedups anyway.
     items = fps.select("fp", F.struct("url", "pos").alias("item"))
     pairs = lsh._skewcapped_pairs(
-        items, ["fp"], MAX_FP_BUCKET, skew_name="winnow_fps", distinct=False
+        items, ["fp"], MAX_FP_BUCKET, skew_name="winnow_fps", distinct=False,
+        persisted=persisted,
     ).where(F.col("l.url") != F.col("r.url"))
 
     # up to 4 seed positions per pair: a lone seed can be a spurious short
@@ -190,60 +173,52 @@ def substring_edges(
         .select("url_l", "url_r", F.col("s.pos_l").alias("pos_l"), F.col("s.pos_r").alias("pos_r"))
     )
 
-    # --- verify: two exact strategies, chosen by a sampled doc-length probe.
+    # --- verify: ONE exact strategy, routed PER DOCUMENT (round-5 rework of
+    # the r04 corpus-level sampled length probe, VERDICT r04 what's-wrong #3:
+    # a sampled probe can misroute a mostly-short corpus with rare huge docs,
+    # and the misclassification direction is the expensive one — full texts
+    # on pair rows).  Routing on each row's own octet_length is deterministic
+    # at any scale and needs no probe job:
     #
-    # SHORT-DOC corpora (all sampled texts <= PLAIN_VERIFY_MAX_BYTES): plain
-    # one-pass extend on full texts — the texts are themselves bounded
-    # strings, so the pair join ships <= 2*PLAIN_VERIFY_MAX_BYTES per row
-    # and none of the slice bookkeeping pays for itself.
+    #   * a doc that FITS IN ONE SLICE WINDOW (ln <= 2W+gram) ships verbatim
+    #     as its own "slice" — the same bytes a window would carry, with the
+    #     edge flags statically false, so it can never saturate;
+    #   * a longer doc ships the bounded byte slice substring(tb, pos±W),
+    #     projected IN THE SAME STAGE as the per-url text join, so the only
+    #     shuffle that ships a full text is the per-url join input
+    #     (unavoidable: texts must reach their pairs once) — everything
+    #     downstream, including the second join's shuffle and the Arrow
+    #     extend stage, carries <= 2W+gram bytes per row instead of two full
+    #     documents.
     #
-    # LONG-DOC corpora — the sliced verify (VERDICT r03 #1): full texts
-    # never ride a PAIR-granularity shuffle.  Each side's text join projects
-    # the bounded byte slice substring(tb, pos±W) IN THE SAME STAGE as the
-    # join, so the only shuffle that ships a full text is the per-url join
-    # input (unavoidable: texts must reach their pairs once) — everything
-    # downstream, including the second join's shuffle and the Arrow extend
-    # stage, carries <= 2W+gram bytes per row instead of two full documents.
     # The extend is byte-exact within the window; results truncated by a
     # slice edge that is not a true text boundary are flagged `sat` and ONLY
     # those pairs re-extend against full texts (once per pair, not once per
     # seed) — exactness matches a full-text verify while collision and
-    # short-match candidates never put a full text on a pair row.
+    # short-match candidates never put a full text on a pair row.  On an
+    # all-short corpus every row takes the verbatim branch, no pair ever
+    # saturates, and the fallback stage is skipped after one count of the
+    # cached skinny per-pair frame.
     W = EXTEND_WINDOW_MULT * cfg.substring_min_len
     slice_len = 2 * W + cfg.winnow_gram
     texts_b = docs.select(
         "url", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("tb")
-    )
-
-    # sampled length probe (perf heuristic only — both branches are exact):
-    # one bounded partial scan of the text column, no full-corpus job
-    probe = (
-        docs.select(F.octet_length(F.coalesce(F.col("text"), F.lit(""))).alias("n"))
-        .limit(_LEN_PROBE_ROWS)
-        .agg(F.max("n"))
-        .first()[0]
-    )
-    if (probe or 0) <= PLAIN_VERIFY_MAX_BYTES:
-        extend_plain = make_plain_extend_udf(cfg)
-        return (
-            cands.join(texts_b.withColumnsRenamed({"url": "url_l", "tb": "tb_l"}), "url_l")
-            .join(texts_b.withColumnsRenamed({"url": "url_r", "tb": "tb_r"}), "url_r")
-            .withColumn("mlen", extend_plain("tb_l", "tb_r", "pos_l", "pos_r"))
-            .groupBy("url_l", "url_r")
-            .agg(F.max("mlen").alias("match_len"))
-            .where(F.col("match_len") >= F.lit(cfg.substring_min_len))
-            .select("url_l", "url_r", "match_len")
-        )
+    ).withColumn("ln", F.octet_length("tb"))
 
     def _slice_cols(side: str) -> list:
         pos = F.col(f"pos_{side}")
-        start = F.greatest(pos - W, F.lit(0))
-        sl = F.substring("tb", start + 1, F.lit(slice_len))
+        whole = F.col("ln") <= F.lit(slice_len)
+        start = F.when(whole, F.lit(0)).otherwise(F.greatest(pos - W, F.lit(0)))
+        sl = F.when(whole, F.col("tb")).otherwise(
+            F.substring("tb", start + 1, F.lit(slice_len))
+        )
         return [
             sl.alias(f"sl_{side}"),
             (pos - start).alias(f"rel_{side}"),
-            (start > 0).alias(f"more_{side}l"),
-            (start + F.octet_length(sl) < F.octet_length("tb")).alias(f"more_{side}r"),
+            (~whole & (start > 0)).alias(f"more_{side}l"),
+            (~whole & (start + F.octet_length(sl) < F.col("ln"))).alias(
+                f"more_{side}r"
+            ),
         ]
 
     extend_sliced = make_sliced_extend_udf(cfg)
@@ -275,6 +250,8 @@ def substring_edges(
         # recomputes lost partitions from lineage) so the sliced-extend Arrow
         # stage runs ONCE, not once per branch
     ).persist()
+    if persisted is not None:
+        persisted.append(per_pair)
     resolved = per_pair.where(F.size("sat_seeds") == 0).select(
         "url_l", "url_r", F.col("m_ok").alias("match_len")
     )
@@ -286,10 +263,11 @@ def substring_edges(
         edges = resolved
     else:
         extend_full = make_full_extend_udf(cfg)
+        texts_full = texts_b.select("url", "tb")
         fallback = (
             per_pair.where(F.size("sat_seeds") > 0)
-            .join(texts_b.withColumnsRenamed({"url": "url_l", "tb": "tb_l"}), "url_l")
-            .join(texts_b.withColumnsRenamed({"url": "url_r", "tb": "tb_r"}), "url_r")
+            .join(texts_full.withColumnsRenamed({"url": "url_l", "tb": "tb_l"}), "url_l")
+            .join(texts_full.withColumnsRenamed({"url": "url_r", "tb": "tb_r"}), "url_r")
             .withColumn("m_fb", extend_full("tb_l", "tb_r", "sat_seeds"))
             .select(
                 "url_l",

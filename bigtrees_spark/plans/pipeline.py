@@ -41,13 +41,18 @@ class DedupResult:
     # sources verify by Hamming distance / upstream logic, not Jaccard)
     clusters: DataFrame     # url, cluster_id (every input url)
     report: DataFrame       # cluster_id, n_members, savings, members
-    persisted: tuple = ()   # frames this run persist()ed (docs_fp, winners)
+    persisted: tuple = ()   # EVERY frame this run persist()ed: docs_fp,
+    # winners, plus the internal materialization points (LSH pairing cache,
+    # verify prefilter, simhash pairing cache, CC pre-contraction map)
 
     def unpersist(self) -> None:
-        """Release every cache this pipeline run created (docs_fp AND the
-        internal winner-per-digest table) — long-lived sessions that loop
-        over near_dedup_pipeline(persist=True) would otherwise accumulate
-        one orphaned winners cache per run."""
+        """Release every cache this pipeline run created — docs_fp, the
+        winner-per-digest table, AND the operators' internal materialization
+        caches (threaded out of lsh/cc via their `persisted` params) —
+        long-lived sessions that loop over near_dedup_pipeline(persist=True)
+        would otherwise accumulate orphaned cache entries per run (ADVICE
+        r04).  Safe at any time: persist keeps lineage, so a consumer that
+        reads after release recomputes instead of failing."""
         for df in self.persisted:
             df.unpersist()
 
@@ -76,8 +81,10 @@ def near_dedup_pipeline(
     # before persist so the cache never holds the corpus twice (VERDICT r03
     # what's-wrong #4).
     docs_fp = docs_fp.drop("text")
+    _persisted: list = []  # every cache handle this run creates, in order
     if persist:
         docs_fp = docs_fp.persist()
+        _persisted.append(docs_fp)
 
     # Err-node semantics (HashTree/Build.hs:109-118): error rows stay in
     # docs_fp (they ARE the error report) but never enter pairing — their
@@ -107,16 +114,19 @@ def near_dedup_pipeline(
     winners = clean_fp.groupBy("sha256").agg(F.min("url").alias("url"))
     if persist:
         winners = winners.persist()
+        _persisted.append(winners)
     rep_urls = winners.select("url")
 
     band_src = clean_fp.select("url", "bands").join(rep_urls, "url", "left_semi")
-    pairs = lsh.candidate_pairs(band_src, cfg, ctx=ctx)
+    pairs = lsh.candidate_pairs(band_src, cfg, ctx=ctx, persisted=_persisted)
     # stable edge schema across every path: (url_l, url_r, jaccard nullable)
-    edges = lsh.verify_pairs(pairs, clean_fp, cfg)
+    edges = lsh.verify_pairs(pairs, clean_fp, cfg, persisted=_persisted)
     if use_simhash_edges:
         sim_src = clean_fp.select("url", "simhash").join(rep_urls, "url", "left_semi")
         edges = edges.unionByName(
-            lsh.simhash_edges(sim_src, cfg, ctx=ctx).select("url_l", "url_r"),
+            lsh.simhash_edges(sim_src, cfg, ctx=ctx, persisted=_persisted).select(
+                "url_l", "url_r"
+            ),
             allowMissingColumns=True,  # simhash rows carry jaccard = null
         )
     if extra_edges is not None:
@@ -146,7 +156,9 @@ def near_dedup_pipeline(
         )
         edges = edges.unionByName(mapped, allowMissingColumns=True)
 
-    labels = cc.connected_components(edges.select("url_l", "url_r"))
+    labels = cc.connected_components(
+        edges.select("url_l", "url_r"), persisted=_persisted
+    )
 
     # expand rep labels to every member of the rep's exact-dup group.  The
     # CC label is min over rep urls; with min-url reps that IS min over the
@@ -167,7 +179,11 @@ def near_dedup_pipeline(
         edges=edges,
         clusters=clusters,
         report=report,
-        persisted=(docs_fp, winners) if persist else (),
+        # internal materialization caches (LSH pairing / verify prefilter /
+        # simhash pairing / CC pre-contraction map) are eagerly populated
+        # during this call, so they are tracked even when persist=False —
+        # unpersist() must release a run's FULL cache footprint either way
+        persisted=tuple(_persisted),
     )
 
 

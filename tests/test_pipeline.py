@@ -253,6 +253,80 @@ def test_substring_sliced_verify_exact_lengths(spark):
     assert ("a1", "b1") not in got and ("a1", "b2") not in got
 
 
+def test_substring_mixed_corpus_rare_long_docs(spark):
+    """Per-document verify routing (VERDICT r04 what's-wrong #3): a corpus of
+    9,990 short docs with 10 rare long docs appended at the END — beyond any
+    arrival-order probe window — must still verify the long docs' shared
+    excerpts byte-exactly, and must do so through BOUNDED slices (the plan
+    projects conditional substring(tb, ...) slices on the pair path; routing
+    is per-row octet_length, so no sampled corpus probe exists to misroute)."""
+    import numpy as np
+
+    from bigtrees_spark.config import DEFAULT_CONFIG as CFG
+    from bigtrees_spark.operators.substring import EXTEND_WINDOW_MULT, substring_edges
+
+    rng = np.random.default_rng(17)
+
+    def junk(n, tag):
+        return " ".join(f"{tag}{rng.integers(0, 10**9)}" for _ in range(n))
+
+    slice_len = 2 * EXTEND_WINDOW_MULT * CFG.substring_min_len + CFG.winnow_gram
+    rows = [(f"s{i:05d}", junk(40, f"x{i}_")) for i in range(9_990)]
+    # 10 long docs = 5 pairs, each sharing a distinct excerpt far longer than
+    # one slice window (forces saturation + the once-per-pair full re-extend)
+    expected = {}
+    for p in range(5):
+        excerpt = " ".join(f"e{p}_{k}" for k in range(600))  # ~4.5 KB
+        assert len(excerpt.encode()) > 3 * slice_len
+        for side in ("a", "b"):
+            # side marker chars abut the pipes, so the shared region is
+            # EXACTLY '|' + excerpt + '|' (extension stops deterministically)
+            rows.append(
+                (f"zlong{p}{side}", junk(300, f"f{p}{side}") + side + "|" + excerpt
+                 + "|" + side + junk(300, f"g{p}{side}"))
+            )
+        expected[(f"zlong{p}a", f"zlong{p}b")] = len(excerpt.encode()) + 2
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {(r.url_l, r.url_r): r.match_len for r in substring_edges(df).collect()}
+    for pair, mlen in expected.items():
+        assert got.get(pair) == mlen, f"{pair}: got {got.get(pair)}, want {mlen}"
+    # no short doc may pair with a long one (flanks and shorts are unique)
+    assert all(k in expected for k in got), f"spurious edges: {set(got) - set(expected)}"
+
+
+def test_pipeline_cache_footprint_released(spark):
+    """Looped-pipeline cache hygiene (VERDICT r04 next #2 / ADVICE r04): every
+    cache a run creates — docs_fp, winners, AND the operators' internal
+    materialization points (LSH pairing, verify prefilter, simhash pairing,
+    substring per-pair, CC pre-contraction) — must be released by
+    DedupResult.unpersist() + the threaded `persisted` list, so a long-lived
+    driver looping over pipelines returns to an empty Dataset cache."""
+    from bigtrees_spark.operators.substring import substring_edges
+
+    spark.catalog.clearCache()  # start from a known-empty Dataset cache
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    rows = [
+        ("u:%03d" % i, ("the quick brown fox %d jumps over the lazy dog " % (i // 2)) * 4)
+        for i in range(60)
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    for _ in range(2):
+        extra_persisted: list = []
+        extra = substring_edges(
+            pages.select("url", "text"), persisted=extra_persisted
+        )
+        res = near_dedup_pipeline(
+            pages, use_simhash_edges=True, extra_edges=extra
+        )
+        res.clusters.count()
+        res.report.count()
+        res.unpersist()
+        for df in extra_persisted:
+            df.unpersist()
+    assert cm.isEmpty(), "pipeline run leaked Dataset cache entries"
+
+
 def test_extra_edges_endpoints_map_to_reps(spark):
     """extra_edges (e.g. substring_edges) run on the SOURCE and may name
     MEMBER urls; the pipeline must map endpoints to their exact-dup group's

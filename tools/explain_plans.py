@@ -79,11 +79,11 @@ def main() -> None:
         lsh.candidate_pairs(reps)
     )
 
-    # 4c. substring sliced verify (long-doc branch, forced via repeat(text):
-    # the length probe picks it above PLAIN_VERIFY_MAX_BYTES): every shuffle
-    # at pair granularity must carry the bounded `sl_*` slices projected in
-    # the same stage as the per-url text join — a full `tb` appears only on
-    # the per-url join inputs and the saturated-pair fallback joins
+    # 4c. substring sliced verify (long docs via repeat(text); routing is
+    # per-row octet_length, no corpus probe): every shuffle at pair
+    # granularity must carry the bounded `sl_*` slices projected in the same
+    # stage as the per-url text join — a full `tb` appears only on the
+    # per-url join inputs and the saturated-pair fallback joins
     from bigtrees_spark.operators import substring
 
     long_docs = base.select("url", F.repeat("text", 30).alias("text")).limit(300)
