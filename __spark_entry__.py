@@ -471,11 +471,15 @@ def q_repetition(spark, sf_dir):
     duplicate-word fraction, and the occurrence-count fraction of the most
     frequent word bigram.  Full semantics replicated in the SQL oracle
     (the synthetic documents are single-line, so dup_line_frac exercises the
-    degenerate 0.0 case here; multi-line behavior is pytest-gated)."""
+    degenerate 0.0 case here; multi-line behavior is pytest-gated).
+    exact_bigrams=True: the oracle groups by the raw bigram string, so this
+    query keeps the bit-exact string key (fine at driver-corpus scale); the
+    operator's default is the 8-byte xxhash64 key — the 100 TB shuffle diet —
+    and tests/test_textstats.py pins that both modes agree."""
     from bigtrees_spark.operators.textstats import with_repetition
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    r = with_repetition(d)
+    r = with_repetition(d, exact_bigrams=True)
     return r.select(
         _url().alias("url"),
         F.round("dup_line_frac", 6).alias("dup_line_frac"),
@@ -1110,26 +1114,35 @@ SELECT sha256(string_agg(digest, chr(10) ORDER BY digest)) AS root_digest,
        sum(n_docs)::BIGINT AS total_docs, sum(n_bytes)::BIGINT AS total_bytes
 FROM l0
 """,
+        # regex whitespace strip (not trim: trim strips ASCII spaces only)
+        # mirrors textstats._wstrip exactly
         "token_count": r"""
+WITH s AS (
+  SELECT doc_id, text, regexp_replace(text, '^\s+|\s+$', '', 'g') AS st
+  FROM documents
+)
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
-       CASE WHEN trim(text) = '' THEN 0
+       CASE WHEN st = '' THEN 0
+            ELSE len(regexp_split_to_array(st, '\s+')) END AS n_words,
+       CASE WHEN st = '' THEN 0
             ELSE len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]')) END
             AS n_tokens_bpe
-FROM documents
+FROM s
 """,
         "quality": r"""
-WITH q AS (
+WITH s AS (
+  SELECT doc_id, text, regexp_replace(text, '^\s+|\s+$', '', 'g') AS st
+  FROM documents
+), q AS (
   SELECT doc_id,
          length(text) AS n_chars,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+         CASE WHEN st = '' THEN 0
+              ELSE len(regexp_split_to_array(st, '\s+')) END AS n_words,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
          len(regexp_extract_all(text,
              '(?i)\b(?:the|and|of|to|in|is|that|it|was|for)\b')) AS stopword_hits
-  FROM documents
+  FROM s
 )
 SELECT doc_id, n_chars,
        round(n_chars::DOUBLE / greatest(n_words, 1), 6) AS mean_word_len,
@@ -1265,8 +1278,9 @@ WITH base AS (
 ), w AS (
   SELECT doc_id,
          string_split(t, chr(10)) AS lines,
-         CASE WHEN trim(t) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(t), '\\s+') END AS ws
+         CASE WHEN regexp_replace(t, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(
+                     regexp_replace(t, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS ws
   FROM base
 ), bg AS (
   SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
@@ -1358,12 +1372,14 @@ FROM embeddings WHERE vec_id < 200
 """,
         "corpus_curation": f"""
 WITH {_CORPUS_DUPS},
-u AS (SELECT printf('d%08d', doc_id) AS url, text FROM corpus),
+u AS (SELECT printf('d%08d', doc_id) AS url, text,
+             regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS st
+      FROM corpus),
 q AS (
   SELECT url, text,
          length(text) AS n_chars,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+         CASE WHEN st = '' THEN 0
+              ELSE len(regexp_split_to_array(st, '\\s+')) END AS n_words,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
   FROM u
 ), ok AS (
@@ -1375,9 +1391,11 @@ q AS (
   SELECT min(url) AS url FROM ok GROUP BY sha256(text)
 )
 SELECT ok.url,
-       CASE WHEN trim(ok.text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(ok.text), '\\s+')) END AS n_words,
-       CASE WHEN trim(ok.text) = '' THEN 0
+       CASE WHEN regexp_replace(ok.text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+            ELSE len(regexp_split_to_array(
+                   regexp_replace(ok.text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+            END AS n_words,
+       CASE WHEN regexp_replace(ok.text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
             ELSE len(regexp_extract_all(ok.text,
                  '[A-Za-z]{{1,4}}|[0-9]+|[^\\sA-Za-z0-9]')) END AS n_tokens_bpe
 FROM ok JOIN canon ON ok.url = canon.url

@@ -31,10 +31,22 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 DEFAULT_SEP = "\n"
 DEFAULT_MIN_REPEATS = 2
+
+
+def _normalize_key(seg: Column) -> Column:
+    """CCNet's dedup-key normalization (Wenzek et al. 2020 §4.1, public
+    work): lowercase, strip digits and punctuation, collapse whitespace —
+    so trivially-varying boilerplate ('© 2024 …' vs '© 2025 …', hit
+    counters, dates) still collapses to one frequency key.  Applied to the
+    HASH KEY only; output text is always the original segment."""
+    k = F.lower(seg)
+    k = F.regexp_replace(k, r"[0-9]", "")
+    k = F.regexp_replace(k, r"\p{Punct}", "")
+    return F.trim(F.regexp_replace(k, r"\s+", " "))
 
 
 def remove_repeated_segments(
@@ -43,6 +55,7 @@ def remove_repeated_segments(
     id_col: str = "doc_id",
     sep: str = DEFAULT_SEP,
     min_repeats: int = DEFAULT_MIN_REPEATS,
+    normalize: bool = False,
 ) -> DataFrame:
     """-> (id_col, clean_text, n_kept, n_removed), one row per input row.
 
@@ -52,9 +65,20 @@ def remove_repeated_segments(
     much boilerplate as the rest).  A fully-boilerplate document stays in
     the output with clean_text = '' so downstream length/quality filters
     see it (paralleling the pipeline's error-ROW convention).
+
+    Precondition: `id_col` must be unique per row — reassembly groups by it,
+    so duplicate ids would merge distinct documents' segments (ADVICE r04).
+
+    normalize=True counts frequency over CCNet-normalized segment keys
+    (lowercase, digits/punct stripped, whitespace collapsed — _normalize_key)
+    so boilerplate that varies only by dates/counters still collapses; the
+    OUTPUT text is unchanged either way.  Default False = raw-byte identity,
+    the exact semantics the SQL oracle replicates.
     """
     if min_repeats < 2:
         raise ValueError(f"min_repeats must be >= 2, got {min_repeats}")
+    raw_seg = F.col("seg")
+    key = _normalize_key(raw_seg) if normalize else raw_seg
     seg = df.select(
         F.col(id_col),
         F.posexplode(
@@ -66,7 +90,7 @@ def remove_repeated_segments(
                 F.lit(-1),
             )
         ).alias("pos", "seg"),
-    ).withColumn("h", F.sha2(F.col("seg"), 256))
+    ).withColumn("h", F.sha2(key, 256))
     freq = seg.groupBy("h").agg(F.count("*").alias("seg_count"))
     marked = seg.join(freq, "h").withColumn(
         "dup", F.col("seg_count") >= F.lit(min_repeats)

@@ -26,11 +26,20 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _wstrip(col: Column) -> Column:
+    """Strip LEADING/TRAILING whitespace of every class the word splitter
+    treats as whitespace.  F.trim strips ASCII spaces only, so text padded by
+    tabs/newlines would otherwise split into a phantom empty-string first or
+    last 'word', inflating word counts and bigram stats (ADVICE r04).  The
+    SQL oracles replicate this regex strip."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def _word_count(col: Column) -> Column:
     """Whitespace token count; empty/whitespace-only -> 0."""
-    trimmed = F.trim(col)
-    return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+    stripped = _wstrip(col)
+    return F.when(stripped == "", F.lit(0)).otherwise(
+        F.size(F.split(stripped, r"\s+"))
     )
 
 
@@ -43,7 +52,7 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     # BPE-ish: count [a-zA-Z]{1,4} pieces, digit runs, and non-space symbols
     bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0)))
     return df.withColumn("n_words", _word_count(t)).withColumn(
-        "n_tokens_bpe", F.when(F.trim(t) == "", F.lit(0)).otherwise(bpe)
+        "n_tokens_bpe", F.when(_wstrip(t) == "", F.lit(0)).otherwise(bpe)
     )
 
 
@@ -79,7 +88,10 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_repetition(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact_bigrams: bool = False,
 ) -> DataFrame:
     """Gopher-style intra-document repetition signals (the quality-filter
     siblings of corpus-wide dedup — Rae et al. 2021 §A1.3, public work):
@@ -92,19 +104,27 @@ def with_repetition(
                        count fraction is the same signal and stays exactly
                        replicable in portable SQL)
 
+    Precondition: `id_col` must be unique per row — the bigram count join is
+    keyed on it, so duplicate ids would pool counts across rows and fan the
+    join out (ADVICE r04).  Every other column is a pure per-row projection.
+
     Line/word fractions are pure per-row expressions (array_distinct inside
     codegen, no shuffle).  The bigram mode needs a per-(doc, bigram) count:
-    explode -> two partial-aggregatable hash aggs keyed by (id, bigram) then
+    explode -> two partial-aggregatable hash aggs keyed by (id, key) then
     id -> left join back (docs with <2 words get 0.0).  The count shuffle
-    carries (id, short bigram string, count) rows with map-side partial
-    aggregation; grouping by the string itself (not a hash of it) keeps the
-    mode exact and exactly replicable in the SQL oracle."""
+    carries map-side-partial-aggregated rows; by default the group key is
+    xxhash64(bigram) — at 100 TB the (id, bigram, count) shuffle would carry
+    the tokenized corpus roughly once, and the 8-byte key shrinks it ~4x at
+    negligible 64-bit-collision risk (VERDICT r04 #4).  exact_bigrams=True
+    keeps the raw string key: bit-exact mode selection, replicable in
+    portable SQL — the oracle-checked driver query uses it (bounded corpus);
+    tests pin that both modes agree on real text."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    trimmed = F.trim(t)
+    stripped = _wstrip(t)
     lines = F.split(t, "\n", -1)
-    words = F.split(trimmed, r"\s+", -1)
+    words = F.split(stripped, r"\s+", -1)
     n_lines = F.size(lines).cast("double")
-    n_words = F.when(trimmed == "", F.lit(0)).otherwise(F.size(words)).cast("double")
+    n_words = F.when(stripped == "", F.lit(0)).otherwise(F.size(words)).cast("double")
     out = df.withColumn(
         "dup_line_frac",
         (n_lines - F.size(F.array_distinct(lines))) / F.greatest(n_lines, F.lit(1.0)),
@@ -128,8 +148,9 @@ def with_repetition(
             ).otherwise(F.array())
         ).alias("_bg"),
     )
+    bg_key = F.col("_bg") if exact_bigrams else F.xxhash64("_bg")
     top = (
-        bg.groupBy("_rid", "_bg")
+        bg.groupBy("_rid", bg_key.alias("_k"))
         .agg(F.count("*").alias("_c"))
         .groupBy("_rid")
         .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_tot"))

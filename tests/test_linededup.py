@@ -80,3 +80,51 @@ def test_sep_is_literal_not_regex(spark):
     assert got[1] == ("aaa.ccc", 2, 1)  # shared 'bbb' segment removed
     assert got[2] == ("ddd", 1, 1)
     assert got[3] == ("eee", 1, 0)
+
+
+def test_normalized_keys_collapse_trivially_varying_boilerplate(spark):
+    """normalize=True (CCNet dedup-key normalization): boilerplate that
+    varies only by digits/punct/case/whitespace ('© 2024 Foo' vs '© 2025
+    Foo!') must collapse to one frequency key and be removed everywhere,
+    while the OUTPUT text keeps the original bytes of every kept segment.
+    Verified against a brute-force normalizer."""
+    import re as _re
+
+    def norm(s):
+        s = _re.sub(r"[0-9]", "", s.lower())
+        # strip ASCII punctuation (Java \p{Punct}), collapse whitespace
+        s = _re.sub(r"[!-/:-@\[-`{-~]", "", s)
+        return _re.sub(r"\s+", " ", s).strip()
+
+    rows = [
+        (1, "Unique alpha body\nCopyright (c) 2024 ExampleCo.\ntail A"),
+        (2, "Unique beta body\ncopyright c 2025  exampleco\ntail B"),
+        (3, "Visitors today: 1024\nUnique gamma body"),
+        (4, "visitors today 99\nUnique delta body"),
+        (5, "Unique epsilon body only"),
+    ]
+
+    # brute force over normalized keys
+    segs = {i: t.split("\n") for i, t in rows}
+    from collections import Counter
+
+    freq = Counter(norm(s) for v in segs.values() for s in v)
+    want = {}
+    for i, v in segs.items():
+        kept = [s for s in v if freq[norm(s)] < 2]
+        want[i] = ("\n".join(kept), len(kept), len(v) - len(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+        for r in remove_repeated_segments(df, normalize=True).collect()
+    }
+    assert got == want
+    # the copyright/visitor lines really did collapse (sanity of the fixture)
+    assert got[1][2] >= 1 and got[3][2] >= 1
+    # raw semantics untouched: default mode removes none of these variants
+    raw = {
+        r.doc_id: r.n_removed
+        for r in remove_repeated_segments(df).collect()
+    }
+    assert raw[1] == 0 and raw[3] == 0

@@ -83,3 +83,46 @@ def test_repetition_signals(spark):
         assert got[i].top_bigram_frac == 0.0
     assert got[6].dup_line_frac == 0.0
     assert len(got) == 7  # left join keeps bigram-less docs
+
+
+def test_whitespace_strip_semantics(spark):
+    """Leading/trailing tabs and newlines must not create phantom empty-string
+    words (ADVICE r04: F.trim strips ASCII spaces only).  n_words and
+    dup_word_frac see the same word list the splitter intends."""
+    from bigtrees_spark.operators.textstats import with_repetition
+
+    rows = [
+        (1, "\tfoo bar"),          # tab-led: 2 words, not 3
+        (2, "foo bar\n"),          # newline-trailed: 2 words
+        (3, " \t\n "),             # whitespace-only: 0 words
+        (4, "\n\nfoo foo\t"),      # strip both ends: 2 words, dup frac 0.5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tc = {r.doc_id: r.n_words for r in with_token_counts(df).collect()}
+    assert tc == {1: 2, 2: 2, 3: 0, 4: 2}
+    rep = {r.doc_id: r.dup_word_frac for r in with_repetition(df).collect()}
+    assert rep[1] == 0.0
+    assert rep[3] == 0.0
+    assert rep[4] == pytest.approx(0.5)
+
+
+def test_repetition_hashed_and_exact_bigram_modes_agree(spark):
+    """The default xxhash64 bigram key (the 100 TB shuffle diet) must produce
+    the same top_bigram_frac as the bit-exact string key on real text —
+    collisions are the only possible divergence and must not occur here."""
+    from bigtrees_spark.operators.textstats import with_repetition
+
+    rows = [
+        (1, "the cat sat on the mat the cat came back"),
+        (2, "spam spam spam spam spam"),
+        (3, "all of these words differ completely right here"),
+        (4, ""),
+        (5, "a b a b a b a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = {r.doc_id: r.top_bigram_frac for r in with_repetition(df).collect()}
+    exact = {
+        r.doc_id: r.top_bigram_frac
+        for r in with_repetition(df, exact_bigrams=True).collect()
+    }
+    assert hashed == exact
