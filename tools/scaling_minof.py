@@ -106,7 +106,7 @@ def one_run(cores: int, corpus_path: str, sf_dir: str) -> tuple[float, int, floa
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scaling_minof.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/results/scaling_minof.json"
     k = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
