@@ -7,7 +7,7 @@ Prints ONE JSON line:
 
 The headline metric is end-to-end near-dedup wall time; `scaling_recorded`
 embeds the best attested N-vs-4N pair measured with the current engine
-(latest-round `.scaling_minof_*.json` artifact, written by
+(latest-round `results/scaling_minof_*.json` artifact, written by
 tools/scaling_minof.py in a dedicated quiet window — methodology and
 per-leg load/CPU traces in BASELINE.md).  `scaling` (emitted when
 SPARK_GRAFT_SCALING=1) additionally reruns the dedup pipeline at local[8]
@@ -205,8 +205,8 @@ def _time_dedup_at(cores: int, sf_dir: str) -> tuple[float, int]:
 
 
 def _best_recorded_scaling_pair(here: str | None = None) -> dict | None:
-    """Summarize the best attested N-vs-4N pair from the `.scaling_minof_*`
-    artifacts committed in the repo root (written by tools/scaling_minof.py,
+    """Summarize the best attested N-vs-4N pair from the `scaling_minof_*`
+    artifacts committed under results/ (written by tools/scaling_minof.py,
     full methodology + per-leg load traces in BASELINE.md).  Embedding the
     recorded pair makes the per-round BENCH artifact self-contained: the
     scaling legs take ~35 min each and are measured in dedicated quiet
@@ -218,7 +218,7 @@ def _best_recorded_scaling_pair(here: str | None = None) -> dict | None:
         here = os.path.dirname(os.path.abspath(__file__))
     best = None
     best_round = -1
-    for path in sorted(glob.glob(os.path.join(here, ".scaling_minof*.json"))):
+    for path in sorted(glob.glob(os.path.join(here, "results", "scaling_minof*.json"))):
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -240,7 +240,7 @@ def _best_recorded_scaling_pair(here: str | None = None) -> dict | None:
         cpu_lo = min(cpu.get(str(lo), [])) if cpu.get(str(lo)) else None
         cpu_hi = min(cpu.get(str(hi), [])) if cpu.get(str(hi)) else None
         summary = {
-            "source": os.path.basename(path),
+            "source": os.path.relpath(path, here),
             "docs": rec["docs"],
             "cores_low": lo,
             "cores_high": hi,

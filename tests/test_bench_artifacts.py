@@ -136,15 +136,16 @@ def test_best_recorded_scaling_pair_selection(tmp_path):
         }
         if cpu_lo is not None:
             rec["cpu_seconds"] = {"2": [cpu_lo], "8": [cpu_hi]}
-        (tmp_path / name).write_text(json.dumps(rec))
+        (tmp_path / "results" / name).write_text(json.dumps(rec))
 
-    write(".scaling_minof_r2.json", 0.95)               # old round, best eff
-    write(".scaling_minof_r4a.json", 0.70, 100.0, 101.0)
-    write(".scaling_minof_r4b.json", 0.80, 100.0, 77.0)  # implausible ratio
+    (tmp_path / "results").mkdir()
+    write("scaling_minof_r2.json", 0.95)               # old round, best eff
+    write("scaling_minof_r4a.json", 0.70, 100.0, 101.0)
+    write("scaling_minof_r4b.json", 0.80, 100.0, 77.0)  # implausible ratio
 
     best = bench._best_recorded_scaling_pair(here=str(tmp_path))
     # round 4 beats round 2 despite the lower eff; r4b beats r4a within round
-    assert best["source"] == ".scaling_minof_r4b.json"
+    assert best["source"] == "results/scaling_minof_r4b.json"
     assert best["wall_efficiency"] == 0.80
     # ratio 0.77 is outside [0.85, 1.2]: raw CPU seconds stay, the derived
     # efficiency (which would exceed 1.0) is omitted
@@ -152,7 +153,7 @@ def test_best_recorded_scaling_pair_selection(tmp_path):
     assert "cpu_derived_efficiency" not in best
 
     # sane ratio keeps the derived number
-    write(".scaling_minof_r5.json", 0.85, 100.0, 102.0)
+    write("scaling_minof_r5.json", 0.85, 100.0, 102.0)
     best = bench._best_recorded_scaling_pair(here=str(tmp_path))
-    assert best["source"] == ".scaling_minof_r5.json"
+    assert best["source"] == "results/scaling_minof_r5.json"
     assert "cpu_derived_efficiency" in best
