@@ -265,9 +265,12 @@ def _best_recorded_scaling_pair(here: str | None = None) -> dict | None:
             # makes the formula exceed 1.0 — physically impossible, so omit
             # it and let the wall ratio be the primary signal (BASELINE.md)
             if 0.85 <= ratio <= 1.2:
-                summary["cpu_derived_efficiency"] = round(
-                    (cpu_lo / lo) / (cpu_hi / hi) / (hi / lo), 3
-                )
+                derived = round((cpu_lo / lo) / (cpu_hi / hi) / (hi / lo), 3)
+                # same contamination can slip through the ratio gate (r5's
+                # 0.877 -> "efficiency" 1.14); a derived value materially
+                # above 1.0 is the same impossibility, so gate on it too
+                if derived <= 1.05:
+                    summary["cpu_derived_efficiency"] = derived
         if rnd > best_round or best is None or eff > best["wall_efficiency"]:
             best = summary
             best_round = rnd

@@ -25,8 +25,16 @@ def test_best_recorded_scaling_pair_prefers_latest_round():
     bench = _load_bench()
     best = bench._best_recorded_scaling_pair()
     assert best is not None
-    # repo root carries r2/r3/r4 artifacts; r4 is the newest round recorded
-    assert "_r4" in best["source"]
+    # repo carries r2..r5 artifacts; the newest round present must win
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob("/root/repo/results/scaling_minof_r*.json")
+        if (m := re.search(r"_r(\d+)", os.path.basename(p)))
+    ]
+    assert f"_r{max(rounds)}" in best["source"]
     for key in (
         "docs",
         "cores_low",
@@ -59,13 +67,12 @@ def test_best_recorded_pair_math_matches_artifact():
     cpu_hi = min(raw["cpu_seconds"][str(hi)])
     ratio = cpu_hi / cpu_lo
     assert best["cpu_work_ratio_hi_over_lo"] == round(ratio, 3)
-    if 0.85 <= ratio <= 1.2:
-        assert best["cpu_derived_efficiency"] == round(
-            (cpu_lo / lo) / (cpu_hi / hi) / (hi / lo), 3
-        )
+    derived = round((cpu_lo / lo) / (cpu_hi / hi) / (hi / lo), 3)
+    if 0.85 <= ratio <= 1.2 and derived <= 1.05:
+        assert best["cpu_derived_efficiency"] == derived
     else:
         # implausible parity (one leg's wall-proportional background CPU
-        # dominates) -> the derived number would exceed 1.0 and is omitted
+        # dominates) -> the derived number exceeds 1.0 and is omitted
         assert "cpu_derived_efficiency" not in best
 
 
@@ -157,3 +164,11 @@ def test_best_recorded_scaling_pair_selection(tmp_path):
     best = bench._best_recorded_scaling_pair(here=str(tmp_path))
     assert best["source"] == "results/scaling_minof_r5.json"
     assert "cpu_derived_efficiency" in best
+
+    # ratio passes the [0.85, 1.2] gate but the derived value lands >1.05
+    # (wall-proportional background CPU on the longer lo leg): omitted
+    write("scaling_minof_r6.json", 0.80, 100.0, 88.0)
+    best = bench._best_recorded_scaling_pair(here=str(tmp_path))
+    assert best["source"] == "results/scaling_minof_r6.json"
+    assert best["cpu_work_ratio_hi_over_lo"] == 0.88
+    assert "cpu_derived_efficiency" not in best

@@ -55,7 +55,15 @@ def make_source(spark, out_dir: str, docs_per_batch: int, n_batches: int) -> Non
             "text",
             F.lit("en").alias("lang"),
         )
-        page.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/batch{b:02d}")
+        # the file-stream source lists FILES directly under the input path
+        # (it does not recurse into part-file directories), so stage the
+        # Spark directory-write and move the single part file up as a flat
+        # batchNN.parquet
+        stage = f"{out_dir}/.stage{b:02d}"
+        page.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(Path(stage).glob("part-*.parquet"))
+        part.rename(Path(out_dir) / f"batch{b:02d}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
     d.unpersist()
 
 
@@ -101,9 +109,12 @@ def run_config(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
         wall = time.time() - t0
         progress = [json.loads(p.json) for p in q.recentProgress]
+        if not finished:
+            q.stop()
+            raise RuntimeError(f"{name}: stream did not finish within 600s")
         edges = spark.read.parquet(sink).count()
         shutil.rmtree(work, ignore_errors=True)
     finally:
