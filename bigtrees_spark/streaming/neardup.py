@@ -186,12 +186,28 @@ def start_neardup_stream(
     cfg: FingerprintConfig = DEFAULT_CONFIG,
     cap: int = STREAM_BUCKET_CAP,
     idle_timeout_ms: int | None = None,
+    shuffle_partitions: int | None = None,
 ):
     """Run-once (availableNow) streaming near-dup pass over new files in
     source_dir; edges append to sink_dir parquet.  Restarting with the same
     checkpoint resumes bucket state, so a twin arriving in a LATER batch
     still pairs with its original — the property a batch job only gets by
-    re-scanning everything."""
+    re-scanning everything.
+
+    shuffle_partitions: state-store task count for the stateful operator.
+    The stateful op runs one task per shuffle partition and each task
+    opens/commits one state store EVERY trigger — empty partitions still
+    pay provider round-trips — and the count is pinned by the FIRST run's
+    checkpoint (later conf changes are ignored on resume).  Size it to
+    available executor cores x a small factor, not the batch default:
+    tools/streaming_profile.py measured 32 -> 8 partitions on an 8-core
+    session as 20% faster per trigger with 4.7x faster state commits
+    (BASELINE.md, round 5).  None leaves the session conf untouched.
+    NOTE: sets the session-wide spark.sql.shuffle.partitions before
+    start(); use a dedicated session for the stream if other queries
+    share it."""
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     src = spark.readStream.schema(WEB_PAGES_DDL).parquet(source_dir)
 
     def write_batch(df: DataFrame, batch_id: int) -> None:

@@ -262,3 +262,32 @@ def test_idle_timeout_expires_bucket_state(spark, tmp_path):
         [] if not os.path.isdir(sink) else distinct_edges(spark, sink).collect()
     )
     assert all({r.url_l, r.url_r} != {"u:a", "u:a2"} for r in edges)
+
+
+@pytest.mark.timeout(300)
+def test_shuffle_partitions_knob_sets_state_store_count(spark, tmp_path):
+    """start_neardup_stream(shuffle_partitions=N) must pin the stateful
+    operator to N state-store tasks (the per-trigger cost driver measured
+    in tools/streaming_profile.py — each partition opens/commits one store
+    every trigger, empty ones included)."""
+    import json
+
+    from bigtrees_spark.streaming.neardup import start_neardup_stream
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    a = _text(["kilo", "lima", "mike"])
+    _pages(spark, [("u:a", a), ("u:a2", _twin(a))]).write.mode("append").parquet(src)
+    try:
+        q = start_neardup_stream(spark, src, ckpt, sink, shuffle_partitions=4)
+        q.awaitTermination(120)
+        progress = [json.loads(p.json) for p in q.recentProgress]
+        state = [
+            p["stateOperators"][0]
+            for p in progress
+            if p.get("numInputRows", 0) > 0 and p.get("stateOperators")
+        ]
+        assert state, "no stateful trigger progress recorded"
+        assert state[-1]["numShufflePartitions"] == 4
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
