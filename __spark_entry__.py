@@ -919,6 +919,108 @@ def q_streaming_twin_edges(spark, sf_dir):
     )
 
 
+def q_set_member(spark, sf_dir):
+    """Set membership (J5/U4: setContainsHash vectorized over a table,
+    reference HashSet.hs:341-342) — which docs' digests are in a planted
+    hash set.  Left semi-join, strategy left to AQE (sets.py:67-71)."""
+    from bigtrees_spark.operators.sets import hash_set_from_docs, member
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("nbytes"),
+        F.sha2("text", 256).alias("sha256"),
+    )
+    s = hash_set_from_docs(d.where(F.col("doc_id") % 20 == 0), note="m")
+    return member(d, s).select("doc_id")
+
+
+def q_url_subtree(spark, sf_dir):
+    """dropTo / treeContainsPath point-or-subtree lookup (P9, reference
+    Search.hs:107-118) over slash-path urls derived from `source` — the url
+    prefix predicate prunes at the scan (PushedFilters: StringStartsWith)."""
+    from bigtrees_spark.operators.find import url_prefix_subtree
+
+    d = _docs(spark, sf_dir).select(
+        F.concat_ws("/", "source", _url()).alias("url"),
+        F.sha2("text", 256).alias("sha256"),
+        F.length("text").alias("nchars"),
+    )
+    return url_prefix_subtree(d, "src1").select("url", "sha256", "nchars")
+
+
+def q_tree_contains(spark, sf_dir):
+    """treeContainsHash point probes (P10, reference Search.hs:120-126):
+    two digests that exist and one that cannot.  Each probe is the real
+    operator (filter + limit(1) + count — a bounded point lookup, the one
+    documented driver-side action here); results are assembled into a
+    3-row frame for the oracle compare."""
+    import hashlib
+
+    from bigtrees_spark.operators.find import contains_hash
+
+    d = _docs(spark, sf_dir).select("doc_id", F.sha2("text", 256).alias("sha256"))
+    hit0 = d.where(F.col("doc_id") == 0).select("sha256").first()[0]
+    hit17 = d.where(F.col("doc_id") == 17).select("sha256").first()[0]
+    miss = hashlib.sha256(b"no-such-doc").hexdigest()
+    rows = [(name, contains_hash(d, dig)) for name, dig in
+            [("doc0", hit0), ("doc17", hit17), ("absent", miss)]]
+    return spark.createDataFrame(rows, "probe string, found boolean")
+
+
+def q_normalized_diff(spark, sf_dir):
+    """zeroModTime + renameRoot normalizers (P8, reference
+    HashTree/Base.hs:33-37,175-181) driving a metadata-sensitive diff: the
+    two snapshots differ in root prefix (old/ vs new/) and in every mod
+    time (ts = epoch + doc_id vs + doc_id + 3600), and the per-row digest
+    covers text+ts — so WITHOUT the normalizers every row would diff as
+    Add+Rm (urls disjoint) or Edit (ts in the digest).  After rename_root
+    -> root/ and zero_mod_time, only the planted doc_id%30 text edits
+    remain."""
+    from bigtrees_spark.operators.diff import snapshot_diff
+    from bigtrees_spark.operators.find import rename_root, zero_mod_time
+
+    d = _docs(spark, sf_dir)
+    old = d.select(
+        F.concat(F.lit("old/"), _url()).alias("url"),
+        F.timestamp_seconds(F.col("doc_id")).alias("ts"),
+        F.col("text"),
+    )
+    new = d.select(
+        F.concat(F.lit("new/"), _url()).alias("url"),
+        F.timestamp_seconds(F.col("doc_id") + 3600).alias("ts"),
+        F.when(F.col("doc_id") % 30 == 0, F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def normalize(snap, prefix):
+        snap = zero_mod_time(rename_root(snap, prefix, "root/"), ts_col="ts")
+        return snap.select(
+            "url",
+            F.sha2(F.concat(F.col("text"), F.col("ts").cast("string")), 256).alias("sha256"),
+        )
+
+    return snapshot_diff(normalize(old, "old/"), normalize(new, "new/")).select(
+        "kind", "url", "url_new"
+    )
+
+
+def q_drop_payload(spark, sf_dir):
+    """dropFileData projection (P7, reference HashTree/Base.hs:322-326):
+    metadata survives, the binary payload column does not — the payload
+    never reaches the result plan (column pruning removes it from the
+    scan), which at 100 TB is the difference between shipping bytes and
+    shipping rows."""
+    from bigtrees_spark.operators.multimodal import drop_payload
+
+    d = _docs(spark, sf_dir).select(
+        _url().alias("url"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    with_meta = d.withColumn("nbytes", F.octet_length("payload").cast("long"))
+    return drop_payload(with_meta).select("url", "nbytes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dupes": q_exact_dupes,
@@ -962,6 +1064,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_twin_edges": q_streaming_twin_edges,
         "error_rows": q_error_rows,
         "url_scope": q_url_scope,
+        "set_member": q_set_member,
+        "url_subtree": q_url_subtree,
+        "tree_contains": q_tree_contains,
+        "normalized_diff": q_normalized_diff,
+        "drop_payload": q_drop_payload,
     }
 
 
@@ -1417,5 +1524,50 @@ SELECT printf('d%08d', a.doc_id) AS url_l,
 FROM chained a JOIN chained b ON b.doc_id = a.doc_id + 1
 WHERE a.next_text IS NOT NULL AND b.next_text IS NOT NULL
   AND length(a.next_text) >= 256
+""",
+        "set_member": """
+SELECT doc_id FROM documents
+WHERE sha256(text) IN (SELECT sha256(text) FROM documents WHERE doc_id % 20 = 0)
+""",
+        "url_subtree": """
+SELECT source || '/' || printf('d%08d', doc_id) AS url,
+       sha256(text) AS sha256,
+       length(text) AS nchars
+FROM documents
+WHERE source || '/' || printf('d%08d', doc_id) LIKE 'src1%'
+""",
+        "tree_contains": """
+WITH probes AS (
+  SELECT 'doc0' AS probe, (SELECT sha256(text) FROM documents WHERE doc_id = 0) AS d
+  UNION ALL
+  SELECT 'doc17', (SELECT sha256(text) FROM documents WHERE doc_id = 17)
+  UNION ALL
+  SELECT 'absent', sha256('no-such-doc')
+)
+SELECT probe, EXISTS (SELECT 1 FROM documents WHERE sha256(text) = probes.d) AS found
+FROM probes
+""",
+        "normalized_diff": """
+WITH old AS (
+  SELECT 'root/' || printf('d%08d', doc_id) AS url,
+         sha256(text || '1970-01-01 00:00:00') AS sha256
+  FROM documents
+), new AS (
+  SELECT 'root/' || printf('d%08d', doc_id) AS url,
+         sha256((CASE WHEN doc_id % 30 = 0 THEN text || ' edited' ELSE text END)
+                || '1970-01-01 00:00:00') AS sha256
+  FROM documents
+), j AS (
+  SELECT coalesce(old.url, new.url) AS url, old.sha256 AS os, new.sha256 AS ns
+  FROM old FULL OUTER JOIN new ON old.url = new.url
+)
+SELECT CASE WHEN os IS NULL THEN 'Add' WHEN ns IS NULL THEN 'Rm' ELSE 'Edit' END AS kind,
+       url, NULL::VARCHAR AS url_new
+FROM j WHERE os IS NULL OR ns IS NULL OR os <> ns
+""",
+        "drop_payload": """
+SELECT printf('d%08d', doc_id) AS url,
+       octet_length(encode(text)) AS nbytes
+FROM documents
 """,
     }
