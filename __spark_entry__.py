@@ -73,6 +73,11 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     corpus = base.unionByName(twin)
     res = near_dedup_pipeline(corpus, persist=False)
+    # release the run's internal caches before handing the lazy frame to the
+    # driver: persist keeps lineage, so the driver's collect recomputes the
+    # released frames deterministically instead of reading (and then leaking)
+    # this run's cache entries in the shared driver session
+    res.unpersist()
     return res.clusters
 
 
@@ -352,7 +357,13 @@ def q_substring_dups(spark, sf_dir):
     # runs — real detections, but with no closed-form SQL oracle.  The
     # unrestricted pass is gated in tests/test_pipeline.py against the planted
     # fixture; here we verify exact recall + match_len on the derivable subset.
-    edges = substring_edges(corpus)
+    handles: list = []
+    edges = substring_edges(corpus, persisted=handles)
+    # internal caches served the operator's own eager branch probe; the
+    # driver's collect recomputes from lineage, so release them now rather
+    # than leak them into the shared driver session
+    for h in handles:
+        h.unpersist()
     adjacent = F.expr(
         "cast(substring(url_r, 2) as long) = cast(substring(url_l, 2) as long) + 1"
     )
@@ -371,6 +382,7 @@ def q_minhash_lsh_clusters(spark, sf_dir):
         _drop3("text").alias("text"),
     )
     res = near_dedup_pipeline(base.unionByName(twin), persist=False)
+    res.unpersist()  # lazy-safe: lineage recomputes the released caches
     return res.clusters
 
 
@@ -392,6 +404,7 @@ def q_minhash_twin_verdicts(spark, sf_dir):
         F.concat("text", F.lit(" zzqz")).alias("text"),
     )
     res = near_dedup_pipeline(base.unionByName(twin), persist=False)
+    res.unpersist()  # lazy-safe: lineage recomputes the released caches
     c = res.clusters
     cb = c.where(F.col("url").startswith("d")).select(
         F.substring("url", 2, 8).alias("id"), F.col("cluster_id").alias("cb")
@@ -632,7 +645,13 @@ def q_lsh_ann_pairs(spark, sf_dir):
     from bigtrees_spark.operators.similarity import lsh_neardup_pairs
 
     e = _emb(spark, sf_dir)
-    return lsh_neardup_pairs(e, cosine_threshold=0.3, dim=64)
+    handles: list = []
+    out = lsh_neardup_pairs(e, cosine_threshold=0.3, dim=64, persisted=handles)
+    # the pairing core materialized its cache eagerly; the driver's collect
+    # recomputes from lineage, so release rather than leak into the session
+    for h in handles:
+        h.unpersist()
+    return out
 
 
 def q_prefix_dupes(spark, sf_dir):
@@ -670,7 +689,11 @@ def q_simhash_edges(spark, sf_dir):
         _drop3("text").alias("text"),
     )
     fp = fingerprint_docs(base.unionByName(twin))
-    return simhash_edges(fp)
+    handles: list = []
+    out = simhash_edges(fp, persisted=handles)
+    for h in handles:  # lazy-safe release (lineage recomputes on collect)
+        h.unpersist()
+    return out
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -755,9 +778,12 @@ def q_lsh_ann_twins(spark, sf_dir):
 
     e = _emb(spark, sf_dir).where(F.col("vec_id") < 200).select("vec_id", "embedding")
     twins = e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    handles: list = []
     pairs = lsh_neardup_pairs(
-        e.unionByName(twins), cosine_threshold=0.999, dim=64
+        e.unionByName(twins), cosine_threshold=0.999, dim=64, persisted=handles
     )
+    for h in handles:  # lazy-safe release (lineage recomputes on collect)
+        h.unpersist()
     return pairs.select("id_l", "id_r")
 
 
@@ -778,11 +804,16 @@ def q_embedding_clusters(spark, sf_dir):
     corpus = e.unionByName(twins)
     # CC's min-label is LEXICOGRAPHIC (urls are strings) — zero-pad the
     # numeric ids so string order == numeric order and min label == min id
-    edges = lsh_neardup_pairs(corpus, cosine_threshold=0.999, dim=64).select(
+    handles: list = []
+    edges = lsh_neardup_pairs(
+        corpus, cosine_threshold=0.999, dim=64, persisted=handles
+    ).select(
         F.format_string("%09d", "id_l").alias("url_l"),
         F.format_string("%09d", "id_r").alias("url_r"),
     )
-    labels = connected_components(edges)
+    labels = connected_components(edges, persisted=handles)
+    for h in handles:  # lazy-safe release (lineage recomputes on collect)
+        h.unpersist()
     member = corpus.select(F.format_string("%09d", "vec_id").alias("url"))
     return (
         member.join(labels, "url", "left")
@@ -808,7 +839,10 @@ def q_simhash_twin_edges(spark, sf_dir):
     base = d.select(_url().alias("url"), "text")
     twin = d.select(F.format_string("t%08d", F.col("doc_id")).alias("url"), "text")
     fp = fingerprint_docs(base.unionByName(twin))
-    edges = simhash_edges(fp)
+    handles: list = []
+    edges = simhash_edges(fp, persisted=handles)
+    for h in handles:  # lazy-safe release (lineage recomputes on collect)
+        h.unpersist()
     twin_pair = (
         F.col("url_l").startswith("d")
         & F.col("url_r").startswith("t")
@@ -1483,14 +1517,16 @@ u AS (SELECT printf('d%08d', doc_id) AS url, text,
              regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS st
       FROM corpus),
 q AS (
-  SELECT url, text,
+  SELECT url, text, st,
          length(text) AS n_chars,
          CASE WHEN st = '' THEN 0
               ELSE len(regexp_split_to_array(st, '\\s+')) END AS n_words,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
   FROM u
 ), ok AS (
-  SELECT url, text FROM q
+  -- st / n_words ride through so the final projection reuses them: the
+  -- whitespace-strip pattern (= textstats._wstrip) is stated ONCE, in u
+  SELECT url, text, st, n_words FROM q
   WHERE n_chars >= 10
     AND n_chars::DOUBLE / greatest(n_words, 1) BETWEEN 2.0 AND 12.0
     AND digits::DOUBLE / greatest(n_chars, 1) <= 0.3
@@ -1498,11 +1534,8 @@ q AS (
   SELECT min(url) AS url FROM ok GROUP BY sha256(text)
 )
 SELECT ok.url,
-       CASE WHEN regexp_replace(ok.text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
-            ELSE len(regexp_split_to_array(
-                   regexp_replace(ok.text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
-            END AS n_words,
-       CASE WHEN regexp_replace(ok.text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+       ok.n_words,
+       CASE WHEN ok.st = '' THEN 0
             ELSE len(regexp_extract_all(ok.text,
                  '[A-Za-z]{{1,4}}|[0-9]+|[^\\sA-Za-z0-9]')) END AS n_tokens_bpe
 FROM ok JOIN canon ON ok.url = canon.url

@@ -140,7 +140,15 @@ def run_digest_tree(spark, sf_dir) -> int:
 def run_substring(spark, sf_dir) -> int:
     from bigtrees_spark.operators.substring import substring_edges
 
-    return substring_edges(_corpus(spark, sf_dir)).count()
+    # release the operator's internal caches (skew-capped pairing, per-pair
+    # extend) after each leg: the bench legs share one session and identical
+    # plans, so a leaked cache would serve legs 2+ from leg 1's work and
+    # understate the per-run cost (the honest-bench rule, BASELINE.md)
+    handles: list = []
+    n = substring_edges(_corpus(spark, sf_dir), persisted=handles).count()
+    for h in handles:
+        h.unpersist()
+    return n
 
 
 def run_ann(spark, sf_dir) -> int:

@@ -108,10 +108,12 @@ def connected_components(
     outlive this call (the pre-contraction map m, consumed lazily by the
     returned label frame) is appended here so the caller can release it once
     labels are materialized (the pipeline threads this into
-    DedupResult.persisted).  Without it the entry stays cached until LRU
-    eviction — recoverable either way.  The entry edge set's cache is
-    released internally at its last consumer (driver collect / recursion's
-    entry count / first star round).
+    DedupResult.persisted).  Without a list the map is released before
+    return — its cache already served the contraction joins and the
+    recursion's eager count, and the returned frame recomputes it once from
+    lineage — so a long-lived session looping over direct calls accumulates
+    nothing.  The entry edge set's cache is released internally at its last
+    consumer (driver collect / recursion's entry count / first star round).
 
     Recoverability (north_rule: resumable at cluster scale): the entry edge
     set and the pre-contraction map are persist()ed, NOT localCheckpoint()ed
@@ -160,10 +162,17 @@ def connected_components(
         # count), which was e's last consumer — release e's cache; a later
         # recompute (cache miss in inner) walks e's preserved lineage
         e.unpersist()
-        return m.join(inner.withColumnsRenamed({"url": "m"}), "m", "left").select(
+        out = m.join(inner.withColumnsRenamed({"url": "m"}), "m", "left").select(
             F.col("u").alias("url"),
             F.coalesce(F.col("cluster_id"), F.col("m")).alias("cluster_id"),
         )
+        if persisted is None:
+            # no caller will release the handle, so don't leak it into the
+            # session: the cache already served its hot consumers (the two
+            # contraction joins + the recursion's eager count); the returned
+            # frame recomputes m once from lineage when the caller acts
+            m.unpersist()
+        return out
     prev = _checksum(e)
     converged = False
     first_round = True

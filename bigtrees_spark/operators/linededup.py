@@ -72,13 +72,25 @@ def remove_repeated_segments(
     normalize=True counts frequency over CCNet-normalized segment keys
     (lowercase, digits/punct stripped, whitespace collapsed — _normalize_key)
     so boilerplate that varies only by dates/counters still collapses; the
-    OUTPUT text is unchanged either way.  Default False = raw-byte identity,
-    the exact semantics the SQL oracle replicates.
+    OUTPUT text is unchanged either way.  Segments whose normalized key is
+    EMPTY (digit-only, punct-only, whitespace-only lines) fall back to their
+    raw bytes as the key: normalization exists to collapse trivially-varying
+    boilerplate, and pooling every numeric line in the corpus under one ''
+    key would delete unique data ('123' vs '456') as if it were repeated.
+    The two key domains are hash-prefixed so a raw fallback can never
+    collide with a normalized key.  Default False = raw-byte identity, the
+    exact semantics the SQL oracle replicates.
     """
     if min_repeats < 2:
         raise ValueError(f"min_repeats must be >= 2, got {min_repeats}")
     raw_seg = F.col("seg")
-    key = _normalize_key(raw_seg) if normalize else raw_seg
+    if normalize:
+        norm = _normalize_key(raw_seg)
+        key = F.when(norm == "", F.concat(F.lit("r:"), raw_seg)).otherwise(
+            F.concat(F.lit("n:"), norm)
+        )
+    else:
+        key = raw_seg
     seg = df.select(
         F.col(id_col),
         F.posexplode(

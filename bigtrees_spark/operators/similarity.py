@@ -154,9 +154,14 @@ def lsh_neardup_pairs(
     seed: int = 42,
     max_bucket: int = 500,
     ctx=None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: hyperplane-LSH buckets -> within-bucket pairs
     -> exact cosine verify.  Returns (id_l, id_r, cosine >= threshold).
+
+    persisted (optional list): the pairing core's internal persist() handle
+    is appended so the caller can release it after the pairs materialize
+    (same convention as lsh.candidate_pairs / substring_edges).
 
     Pairing goes through the SAME skew-capped core as the text LSH and SimHash
     paths (lsh._skewcapped_pairs): buckets <= max_bucket pair all-ways inside
@@ -184,7 +189,8 @@ def lsh_neardup_pairs(
         F.explode(bands_udf(F.col(vec_col))).alias("band_key"),
     ).select(F.struct("id", "v", "n").alias("item"), "band_key")
     pairs = lsh._skewcapped_pairs(
-        items, ["band_key"], max_bucket, ctx=ctx, skew_name="lsh_ann"
+        items, ["band_key"], max_bucket, ctx=ctx, skew_name="lsh_ann",
+        persisted=persisted,
     ).select(
         F.col("l.id").alias("id_l"),
         F.col("r.id").alias("id_r"),

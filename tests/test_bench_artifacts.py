@@ -29,9 +29,10 @@ def test_best_recorded_scaling_pair_prefers_latest_round():
     import glob
     import re
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = [
         int(m.group(1))
-        for p in glob.glob("/root/repo/results/scaling_minof_r*.json")
+        for p in glob.glob(os.path.join(repo, "results", "scaling_minof_r*.json"))
         if (m := re.search(r"_r(\d+)", os.path.basename(p)))
     ]
     assert f"_r{max(rounds)}" in best["source"]

@@ -128,3 +128,26 @@ def test_normalized_keys_collapse_trivially_varying_boilerplate(spark):
         for r in remove_repeated_segments(df).collect()
     }
     assert raw[1] == 0 and raw[3] == 0
+
+
+def test_normalize_empty_key_falls_back_to_raw_bytes(spark):
+    """Digit-only / punct-only / whitespace-only lines normalize to '' —
+    pooling them under one corpus-wide key would delete unique data ('123'
+    vs '456') as boilerplate.  They must key on their RAW bytes instead:
+    distinct numeric lines survive, while a genuinely repeated numeric line
+    is still removed."""
+    rows = [
+        (1, "Total:\n123"),
+        (2, "Score:\n456"),      # 123 vs 456: distinct data, both must stay
+        (3, "page marker\n---"),
+        (4, "other marker\n---"),  # identical raw '---' repeats -> removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_repeated_segments(df, normalize=True).collect()
+    }
+    assert got[1] == ("Total:\n123", 0)
+    assert got[2] == ("Score:\n456", 0)
+    assert got[3] == ("page marker", 1)
+    assert got[4] == ("other marker", 1)
