@@ -345,3 +345,31 @@ def test_extra_edges_endpoints_map_to_reps(spark):
     assert labels["u:a"] == labels["u:b"] == labels["u:c"]
     # stable edge schema: jaccard present (null on the extra-edge row)
     assert set(res.edges.columns) == {"url_l", "url_r", "jaccard"}
+
+
+def test_bench_legs_release_their_caches(spark):
+    """Bench honesty: the bench legs share one session, and Spark's
+    CacheManager matches by analyzed-plan equality — so any cache a query
+    leg leaks is silently REUSED by the next leg's identical plan, and the
+    min-of-k understates the per-run cost (the class the round-5 near_dedup
+    correction documented).  Every bench query must leave the Dataset cache
+    empty; exercised at sf0.001 against the real bench entry points."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_cache", os.path.join(repo, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip("no sf0.001 test data")
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    for name, fn in bench.QUERIES.items():
+        fn(spark, sf_dir)
+        assert cm.isEmpty(), f"bench query {name!r} leaked Dataset cache entries"
