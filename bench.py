@@ -343,6 +343,7 @@ def main() -> None:
         max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", str(reps + 1)))
         legs: dict[str, list[float]] = {name: [] for name in QUERIES}
         leg_loads: list[float] = []
+        leg_steal: list[float] = []
 
         def _load1() -> float:
             try:
@@ -351,15 +352,33 @@ def main() -> None:
             except OSError:
                 return -1.0
 
+        def _cpu_jiffies() -> list[int] | None:
+            try:
+                with open("/proc/stat") as f:
+                    # user nice system idle iowait irq softirq steal
+                    return [int(x) for x in f.readline().split()[1:9]]
+            except (OSError, ValueError):
+                return None
+
         def _run_leg() -> None:
             nonlocal n_docs
             leg_loads.append(_load1())
+            j0 = _cpu_jiffies()
             for name, fn in QUERIES.items():
                 t0 = time.time()
                 out = fn(spark, sf_dir)
                 legs[name].append(round(time.time() - t0, 3))
                 if name == "near_dedup_e2e":
                     n_docs = out
+            j1 = _cpu_jiffies()
+            if j0 and j1:
+                d = [b - a for a, b in zip(j0, j1)]
+                # hypervisor steal during the leg, as % of all cpu-time: the
+                # contention /proc/loadavg CANNOT see (neighbor tenants of
+                # the VM host take real cycles without raising our runnable
+                # count) — measured 10-18% during legs that wall-ratio'd
+                # 1.5-2x over the same engine's quiet-window minima
+                leg_steal.append(round(d[7] / max(sum(d), 1) * 100, 1))
 
         for _ in range(reps):
             _run_leg()
@@ -380,6 +399,8 @@ def main() -> None:
         "legs": legs,
         "ambient_load1": ambient,  # host loadavg BEFORE the bench's own work
         "leg_load1": leg_loads,  # loadavg at each leg's start (includes self)
+        "leg_steal_pct": leg_steal,  # hypervisor steal per leg (tenancy our
+        # own loadavg can't see; near-0 marks a genuinely quiet observation)
         "sf": sf,
         "docs": n_docs,
         "throughput_docs_per_sec": round(n_docs / timings["near_dedup_e2e"], 1)
