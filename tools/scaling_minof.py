@@ -131,21 +131,35 @@ def main() -> None:
     )
     materialize(sf_dir, n_variants, corpus_path)
 
+    def _jiffies() -> list[int]:
+        with open("/proc/stat") as f:
+            # user nice system idle iowait irq softirq steal
+            return [int(x) for x in f.readline().split()[1:9]]
+
     times: dict[int, list[float]] = {lo: [], hi: []}
     cpus: dict[int, list[float]] = {lo: [], hi: []}
+    steals: dict[int, list[float]] = {lo: [], hi: []}
     docs = 0
     for rep in range(k):
         for cores in (lo, hi):  # alternate so noise hits both legs equally
             load0 = open("/proc/loadavg").read().split()[0]
+            j0 = _jiffies()
             dt, docs, cpu = one_run(cores, corpus_path, sf_dir)
+            dj = [b - a for a, b in zip(j0, _jiffies())]
+            # hypervisor steal during the leg, % of all cpu-time: neighbor
+            # tenants of the VM HOST take real cycles without raising our
+            # own loadavg — the contention term the load trace can't see
+            steal = round(dj[7] / max(sum(dj), 1) * 100, 1)
             times[cores].append(round(dt, 1))
             cpus[cores].append(cpu)
+            steals[cores].append(steal)
             # append progress after every leg so partial results survive kills
             with open(out_path + ".progress", "a") as f:
                 f.write(json.dumps({
                     "rep": rep, "cores": cores, "sec": round(dt, 1),
                     "cpu_sec": cpu, "load_start": load0,
                     "load_end": open("/proc/loadavg").read().split()[0],
+                    "steal_pct": steal,
                 }) + "\n")
 
     t_lo, t_hi = min(times[lo]), min(times[hi])
@@ -162,6 +176,9 @@ def main() -> None:
         # cpu_lo ~= cpu_hi means the engine does the same total work at both
         # parallelism levels (no work-inflation term), whatever the tenancy
         "cpu_seconds": {str(c): ts for c, ts in cpus.items()},
+        # hypervisor steal %% per leg (tenancy invisible to our loadavg);
+        # a leg with steal ~0 is a genuinely quiet observation
+        "steal_pct": {str(c): ts for c, ts in steals.items()},
         f"local{lo}": {"sec": t_lo, "docs_per_sec": round(docs / t_lo, 1)},
         f"local{hi}": {"sec": t_hi, "docs_per_sec": round(docs / t_hi, 1)},
         "cores_low": lo,
