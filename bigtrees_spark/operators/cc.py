@@ -132,12 +132,25 @@ def connected_components(
         .distinct()
         .persist()
     )
-    if e.count() <= driver_threshold:
-        # _driver_cc collects to pandas and rebuilds from the driver, so the
-        # returned frame has no lineage on e — release the cache now
-        out = _driver_cc(e)
+    # Adaptive-path probe in ONE job (round 6): limit(threshold+1).toPandas()
+    # replaces the count()-then-toPandas() pair.  If the probe returns <=
+    # threshold rows, that IS the complete edge set (limit of a smaller set
+    # returns everything) and the driver path proceeds with zero further
+    # cluster work; on a big graph the probe short-circuits at threshold+1
+    # rows (LocalLimit stops pulling), costing one bounded job before the
+    # distributed loop.  A short-circuited scan can leave cache partitions
+    # partially unrolled (and therefore dropped), so the big-graph branch
+    # re-materializes the cache with an explicit count() — the same single
+    # full materialization the old shape paid — before the star loop.
+    probe = e.limit(driver_threshold + 1).toPandas()
+    if len(probe) <= driver_threshold:
+        # the probe scanned every partition to completion (it ran out of
+        # rows before the limit), so the cache is fully populated; the
+        # driver solve needs no further cluster reads — release now
+        out = _driver_cc_pdf(e.sparkSession, probe)
         e.unpersist()
         return out
+    e.count()  # big graph: fully materialize the entry cache for the loop
     if pre_contract:
         sym = _symmetric(e)
         m = sym.groupBy("u").agg(F.min("v").alias("mv"))
@@ -213,7 +226,13 @@ def connected_components(
 
 
 def _driver_cc(e: DataFrame) -> DataFrame:
-    """Local CC over a collected edge list (small-graph fast path).
+    """Local CC over a collected edge DataFrame (small-graph fast path);
+    see _driver_cc_pdf for the solver."""
+    return _driver_cc_pdf(e.sparkSession, e.toPandas())
+
+
+def _driver_cc_pdf(spark, pdf_e) -> DataFrame:
+    """Local CC over an already-collected pandas edge list.
 
     Vectorized numpy min-label propagation with pointer jumping — NOT a
     Python-loop union-find: this path is the pipeline's one serial stage, and
@@ -226,11 +245,9 @@ def _driver_cc(e: DataFrame) -> DataFrame:
     identical labels to the union-find it replaces (tests/test_cc.py gates
     both paths against an independent union-find oracle).
     """
-    spark = e.sparkSession
     import numpy as np
     import pandas as pd
 
-    pdf_e = e.toPandas()  # Arrow transfer; bounded by driver_threshold edges
     if len(pdf_e) == 0:
         return spark.createDataFrame([], schema="url string, cluster_id string")
     u = pdf_e["u"].to_numpy()

@@ -100,6 +100,22 @@ def _skewcapped_pairs(
         # over-cap rows, so they never ride the cache for normal buckets
         "nbrs",
         F.when(F.col("bsz") > cap, F.filter(nbrs, lambda x: x.isNotNull())),
+    ).withColumn(
+        # SIZE-2 FAST PATH (round 6): a two-occupancy bucket's single pair is
+        # already computed by the ordered window — first row's successor —
+        # so it needs no collect_list aggregation and no interpreted combo
+        # expression (the nested transform/slice lambdas in _COMBOS are
+        # CodegenFallback, evaluated per element in interpreted mode; at
+        # realistic dup rates size-2 buckets dominate, and this was ~1.2s of
+        # the 5953-pair bench run).  Gated to the first row (rn == 1) via the
+        # same window sort the lead() already pays for.
+        "pair2",
+        F.when(
+            (F.col("bsz") == 2) & (F.row_number().over(wo) == 1),
+            F.struct(
+                F.col("item").alias("l"), F.lead("item", 1).over(wo).alias("r")
+            ),
+        ),
     )
     multi = sized.where(F.col("bsz") > 1).persist()
     # one deterministic materializing job (the window stage runs ONCE and
@@ -115,13 +131,17 @@ def _skewcapped_pairs(
         sizes = multi.groupBy(*keys).agg(F.max("bsz").alias("bsz"))
         ctx.record_skew(skew_name, cap, _skew_stats_from_sizes(sizes, cap))
 
+    # size-2 buckets: pure projection of the precomputed window pair —
+    # identical (l, r) to the sorted-array combo (window order == sort_array
+    # order, first row's successor == (us[0], us[1]))
+    two = multi.where(F.col("pair2").isNotNull()).select("pair2.l", "pair2.r")
     small = (
-        multi.where(F.col("bsz") <= cap)
+        multi.where((F.col("bsz") > 2) & (F.col("bsz") <= cap))
         .groupBy(*keys)
         .agg(F.sort_array(F.collect_list("item")).alias("us"))
         .select(F.explode(F.expr(_COMBOS)).alias("p"))
         .select("p.l", "p.r")
-    )
+    ).unionByName(two)
     # SALT the hot buckets (north_star: "salting hot LSH buckets"): after the
     # window, a whole over-cap bucket sits in ONE task; its m*K pair explode
     # would be a single-task straggler at monster-bucket scale.  Re-hashing
@@ -220,17 +240,15 @@ def verify_pairs(
         .withColumn("est_j", est(F.col("sig_l"), F.col("sig_r")))
         .where(F.col("est_j") >= F.lit(max(0.0, cfg.jaccard_threshold - sig_prefilter_margin)))
         .select("url_l", "url_r")
-        # materialize the surviving (skinny) pair set: the prefilter joins
-        # otherwise re-plan/re-execute under AQE when fused with the exact
-        # stage (observed 18s vs 1s at sf0.1).  persist, NOT localCheckpoint:
-        # a checkpoint deletes lineage, so one lost executor between here and
-        # the shingle join would fail the job unrecoverably at cluster scale
-        # (same recoverability rule as the substring per-pair persist)
-        .persist()
+        # FUSED with the exact stage (round 6): the prefilter's survivors
+        # flow straight into the shingle joins in ONE query — the r04-era
+        # persist+eager-count barrier here guarded against an AQE
+        # re-planning pathology (observed 18s vs 1s at sf0.1) that no longer
+        # reproduces on Spark 4.1 with the round-6 session config; the fused
+        # job was A/B'd at 0.3s vs 0.75s for the split shape, and one fewer
+        # materializing job per pipeline run.  The exact stage consumes the
+        # prefilter output exactly once, so nothing recomputes.
     )
-    pre.count()  # eager: populate the cache in one deterministic job
-    if persisted is not None:
-        persisted.append(pre)  # released by the caller after the last read
 
     sh = docs_fp.select("url", "shingles")
     inter = F.size(F.array_intersect(F.col("sh_l"), F.col("sh_r")))

