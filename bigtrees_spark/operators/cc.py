@@ -132,25 +132,18 @@ def connected_components(
         .distinct()
         .persist()
     )
-    # Adaptive-path probe in ONE job (round 6): limit(threshold+1).toPandas()
-    # replaces the count()-then-toPandas() pair.  If the probe returns <=
-    # threshold rows, that IS the complete edge set (limit of a smaller set
-    # returns everything) and the driver path proceeds with zero further
-    # cluster work; on a big graph the probe short-circuits at threshold+1
-    # rows (LocalLimit stops pulling), costing one bounded job before the
-    # distributed loop.  A short-circuited scan can leave cache partitions
-    # partially unrolled (and therefore dropped), so the big-graph branch
-    # re-materializes the cache with an explicit count() — the same single
-    # full materialization the old shape paid — before the star loop.
-    probe = e.limit(driver_threshold + 1).toPandas()
-    if len(probe) <= driver_threshold:
-        # the probe scanned every partition to completion (it ran out of
-        # rows before the limit), so the cache is fully populated; the
-        # driver solve needs no further cluster reads — release now
-        out = _driver_cc_pdf(e.sparkSession, probe)
+    # count()-then-collect, deliberately NOT a limit(threshold+1).toPandas()
+    # probe: the probe shape was A/B'd in round 6 and lost — Arrow
+    # collection of a limit plan executes as 5-8 incremental scale-up scans
+    # (separate jobs, ~1.1 s total at bench scale) while count() is one
+    # clean cache-materializing job and the follow-up toPandas reads the
+    # cache in ~30 ms.
+    if e.count() <= driver_threshold:
+        # _driver_cc collects to pandas and rebuilds from the driver, so the
+        # returned frame has no lineage on e — release the cache now
+        out = _driver_cc(e)
         e.unpersist()
         return out
-    e.count()  # big graph: fully materialize the entry cache for the loop
     if pre_contract:
         sym = _symmetric(e)
         m = sym.groupBy("u").agg(F.min("v").alias("mv"))

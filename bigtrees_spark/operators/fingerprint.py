@@ -81,6 +81,16 @@ def fingerprint_docs(
         ensure_parallelism = n_files < parallelism
     if ensure_parallelism:
         df = df.repartition(parallelism)
+    elif ensure_parallelism is False:
+        # caller guarantees the input is already wide (pre_partitioned): cap
+        # the Arrow-UDF stage at one task per slot WITHOUT a shuffle.
+        # coalesce never increases partition count, so an input at or below
+        # parallelism is untouched; a pre-widened union (the bench corpus is
+        # base ∪ twin = 2x parallelism) merges into a single Python stage
+        # instead of one per branch — the optimizer otherwise pushes the UDF
+        # projection into each union branch and every branch pays its own
+        # task waves (measured: 0.48 s -> 0.32 s for the fingerprint pass).
+        df = df.coalesce(parallelism)
     if extract_from_html:
         extract = make_extract_checked_udf(cfg.max_html_bytes)
         df = (

@@ -92,10 +92,15 @@ def _skewcapped_pairs(
       * small buckets pair inside a bounded collect_list array + a JVM
         combination expression.
     """
-    w = Window.partitionBy(*keys)
-    wo = w.orderBy("item")
+    wo = Window.partitionBy(*keys).orderBy("item")
+    # bucket size over the ORDERED spec with an explicit whole-partition
+    # frame: same value as count().over(partitionBy-only), but sharing the
+    # ordered spec lets Catalyst compute size, the lead()s, and row_number
+    # in ONE Window operator (one pass over the sorted partition) instead
+    # of two chained Window operators (round 6).
+    whole = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     nbrs = F.array(*[F.lead("item", k).over(wo) for k in range(1, NEIGHBOR_K + 1)])
-    sized = items.withColumn("bsz", F.count("*").over(w)).withColumn(
+    sized = items.withColumn("bsz", F.count("*").over(whole)).withColumn(
         # prune in the same stage: the K-wide successor arrays exist only on
         # over-cap rows, so they never ride the cache for normal buckets
         "nbrs",
@@ -227,8 +232,14 @@ def verify_pairs(
         thr = cfg.jaccard_threshold
         sig_prefilter_margin = 4.5 * (thr * (1.0 - thr) / cfg.n_perms) ** 0.5
     sigs = docs_fp.select("url", "minhash")
-    # estimated Jaccard = fraction of agreeing MinHash slots — pure codegen
-    # (zip_with + aggregate), no Python round-trip for the prefilter
+
+    # estimated Jaccard = fraction of agreeing MinHash slots — zip_with +
+    # aggregate fold.  A static 128-term GetArrayItem chain (the ann-style
+    # rewrite) was tried in round 6 and REVERTED: at n_perms=128 the
+    # generated code blew up janino compilation (a 3.7 s driver stall and a
+    # 4 s first-task compile per executor, vs ~0.3 s total for the
+    # interpreted fold) — the static-chain trick pays at 64 doubles but
+    # inverts at 128 slots under the extra when()/null guards.
     est = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
         F.lit(0),

@@ -111,18 +111,29 @@ def near_dedup_pipeline(
     # FULL membership by construction, so no relabel pass is needed after
     # member expansion.  (dedup.canonical_docs remains the user-facing
     # keep-earliest-copy operator with (warc_ts, url) semantics.)
-    winners = clean_fp.groupBy("sha256").agg(F.min("url").alias("url"))
+    # ONE aggregation yields both the winner table and the pairing input
+    # (round 6): first("bands") is deterministic BY VALUE — every member of
+    # a sha256 group has identical text, hence identical bands — so carrying
+    # bands through the agg replaces the former winners-agg + semi-join
+    # (clean_fp ⋈ rep_urls) with a single shuffle, one fewer join stage per
+    # run, and strictly fewer shuffled bytes (winners + both semi-join
+    # inputs before vs one combined agg now).
+    winners_b = clean_fp.groupBy("sha256").agg(
+        F.min("url").alias("url"), F.first("bands").alias("bands")
+    )
     if persist:
-        winners = winners.persist()
-        _persisted.append(winners)
-    rep_urls = winners.select("url")
+        winners_b = winners_b.persist()
+        _persisted.append(winners_b)
+    winners = winners_b.select("sha256", "url")
 
-    band_src = clean_fp.select("url", "bands").join(rep_urls, "url", "left_semi")
+    band_src = winners_b.select("url", "bands")
     pairs = lsh.candidate_pairs(band_src, cfg, ctx=ctx, persisted=_persisted)
     # stable edge schema across every path: (url_l, url_r, jaccard nullable)
     edges = lsh.verify_pairs(pairs, clean_fp, cfg, persisted=_persisted)
     if use_simhash_edges:
-        sim_src = clean_fp.select("url", "simhash").join(rep_urls, "url", "left_semi")
+        sim_src = clean_fp.select("url", "simhash").join(
+            winners_b.select("url"), "url", "left_semi"
+        )
         edges = edges.unionByName(
             lsh.simhash_edges(sim_src, cfg, ctx=ctx, persisted=_persisted).select(
                 "url_l", "url_r"

