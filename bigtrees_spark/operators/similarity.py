@@ -65,24 +65,6 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _static_dot(a, b, dim: int):
-    """Dot product as a STATIC left-fold chain over `dim` array slots:
-    ((0.0 + a[0]*b[0]) + a[1]*b[1]) + ... — the exact association (and
-    therefore the exact IEEE-754 double result) of the F.aggregate/zip_with
-    fold it replaces, but built from GetArrayItem/Multiply/Add, which
-    whole-stage codegen compiles to straight-line JVM code.  The lambda
-    fold is a CodegenFallback expression interpreted per element per pair —
-    measured 1.37 s for the bench's 200k-pair x 64-dim cross join vs ~0.3 s
-    for the compiled chain.  Rows whose arrays are shorter than `dim` yield
-    null (GetArrayItem out of bounds), the same null the zip_with pad
-    produces — callers guard with a size() check and fall back to the
-    dynamic fold for nonconforming rows."""
-    out = F.lit(0.0)
-    for i in range(dim):
-        out = out + a[i] * b[i]
-    return out
-
-
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -114,27 +96,174 @@ def brute_force_topk(
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
     )
-    # one-row probe of the (small, broadcast-bound) query side pins the
-    # common embedding dimension so the per-pair dot product compiles to a
-    # static codegen chain; rows of any other length take the dynamic
-    # zip_with fold via the per-row guard, so ragged corpora stay correct
-    # and bit-identical.  The probe is one driver job over one row.
-    dim_row = queries.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else None
-    qv, cv = F.col("qv"), F.col("cv")
-    dyn = _dot(qv, cv)
-    if dim is not None and 0 < dim <= 512:
-        dot = F.when(
-            (F.size(qv) == dim) & (F.size(cv) == dim), _static_dot(qv, cv, dim)
-        ).otherwise(dyn)
-    else:
-        dot = dyn
+    from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+    vt = corpus.schema[vec_col].dataType
+    qt = queries.schema[vec_col].dataType
+    if (
+        isinstance(vt, ArrayType)
+        and isinstance(qt, ArrayType)
+        and isinstance(vt.elementType, (DoubleType, FloatType))
+        and vt.elementType == qt.elementType
+        and corpus.schema[id_col].dataType.simpleString() in _PA_ID_TYPES
+        and queries.schema[id_col].dataType.simpleString() in _PA_ID_TYPES
+    ):
+        return _topk_per_query(
+            _score_corpus_arrow(queries, corpus, id_col, vec_col), k
+        )
+    # fallback (exotic vector types): the original JVM cross-join shape
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", dot / (F.col("qn") * F.col("cn")))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     return _topk_per_query(scored, k)
+
+
+# Spark simpleString -> pyarrow type for the id columns the Arrow scoring
+# path can emit; anything else falls back to the JVM cross-join shape
+def _pa_id_types():
+    import pyarrow as pa
+
+    return {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "smallint": pa.int16(),
+        "string": pa.string(),
+    }
+
+
+class _LazyPaIdTypes:
+    def __contains__(self, k):
+        return k in _pa_id_types()
+
+    def __getitem__(self, k):
+        return _pa_id_types()[k]
+
+
+_PA_ID_TYPES = _LazyPaIdTypes()
+
+
+def _score_corpus_arrow(
+    queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """All (query, corpus) cosine scores via ONE mapInArrow pass over the
+    corpus, queries riding in the task closure.
+
+    Guide §8 shape: the corpus — the heavy side — is never joined, shuffled,
+    or materialized per pair; each task streams its partition once and emits
+    skinny (query_id, neighbor_id, cosine) rows.  The former plan cross-
+    joined the broadcast query side and evaluated the dot product with
+    zip_with/aggregate lambdas, which are CodegenFallback expressions
+    interpreted per element per pair (~1.4 s for the bench's 200k x 64-dim
+    pairs; a static codegen chain fixed the runtime but cost seconds of
+    janino compile per evicted cache entry).  Collecting the queries is the
+    same boundedness assumption the broadcast already made.
+
+    Float semantics are BIT-IDENTICAL to the JVM expressions they replace:
+    products/squares are computed in the SOURCE element type (float32
+    multiply for array<float>, double for array<double>) and accumulated
+    STRICTLY SEQUENTIALLY in float64 via cumsum (every partial sum is a
+    defined output, so no reassociation is possible) — the exact operation
+    sequence of F.aggregate(zip_with(a, b, x*y), 0.0, acc+x); norms take
+    one IEEE sqrt of the same sequential sum, and the final division
+    happens in float64 in the same order (dot / (qn * cn)).  Mismatched
+    lengths or null vectors yield null cosine (zip_with's null-pad
+    propagation); two empty vectors yield 0.0/0.0 = NaN, as before.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    idt = corpus.schema[id_col].dataType.simpleString()
+    qidt = queries.schema[id_col].dataType.simpleString()
+    qrows = queries.select(id_col, vec_col).collect()  # bounded: the side the
+    # old plan broadcast to every executor anyway
+    q_ids = [r[0] for r in qrows]
+    src_np = {
+        "float": np.float32,
+        "double": np.float64,
+    }[corpus.schema[vec_col].dataType.elementType.simpleString()]
+    q_vecs = [
+        None if r[1] is None else np.asarray(r[1], dtype=src_np) for r in qrows
+    ]
+
+    def _seq_sum64(p: "np.ndarray") -> float:
+        # left-fold in float64: cumsum's partial sums pin the association
+        return float(p.astype(np.float64).cumsum()[-1]) if len(p) else 0.0
+
+    q_norms = [
+        None if v is None else float(np.sqrt(_seq_sum64(v * v))) for v in q_vecs
+    ]
+
+    def _row_cos(qv, qn, cv, cn):
+        if qv is None or cv is None or len(qv) != len(cv):
+            return None  # zip_with null-pad -> null cosine
+        return _seq_sum64(qv * cv) / (qn * cn)  # may be inf/nan, as in JVM
+
+    def score(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            col = batch.column(1)
+            n = len(ids)
+            # fast path: no null vectors, one uniform length -> matrix math
+            # (still per-row-sequential: cumsum along axis 1 pins the fold)
+            mat = None
+            if col.null_count == 0 and n:
+                flat = np.asarray(col.flatten(), dtype=src_np)
+                offs = np.asarray(col.offsets)
+                lens = np.diff(offs - offs[0])
+                if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+                    mat = flat.reshape(n, int(lens[0]))
+            out_q, out_n, out_c = [], [], []
+            if mat is not None:
+                d = mat.shape[1]
+                sq64 = (mat * mat).astype(np.float64)
+                cns = np.sqrt(sq64.cumsum(axis=1)[:, -1])
+                ids_np = np.asarray(ids)
+                for qid, qv, qn in zip(q_ids, q_vecs, q_norms):
+                    if qv is None or len(qv) != d:
+                        cos = np.full(n, np.nan)
+                        valid = np.zeros(n, dtype=bool)
+                    else:
+                        p64 = (mat * qv[None, :]).astype(np.float64)
+                        cos = p64.cumsum(axis=1)[:, -1] / (qn * cns)
+                        valid = np.ones(n, dtype=bool)
+                    keep = ids_np != qid  # self-match excluded, as the join did
+                    out_q.extend([qid] * int(keep.sum()))
+                    out_n.extend([i for i, k in zip(ids, keep) if k])
+                    out_c.extend(
+                        float(c) if v else None
+                        for c, v, k in zip(cos, valid, keep)
+                        if k
+                    )
+            else:
+                vecs = [
+                    None if v is None else np.asarray(v, dtype=src_np)
+                    for v in col.to_pylist()
+                ]
+                norms = [
+                    None if v is None else float(np.sqrt(_seq_sum64(v * v)))
+                    for v in vecs
+                ]
+                for qid, qv, qn in zip(q_ids, q_vecs, q_norms):
+                    for nid, cv, cn in zip(ids, vecs, norms):
+                        if nid == qid:
+                            continue
+                        out_q.append(qid)
+                        out_n.append(nid)
+                        out_c.append(_row_cos(qv, qn, cv, cn))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, type=_PA_ID_TYPES[qidt]),
+                    pa.array(out_n, type=_PA_ID_TYPES[idt]),
+                    pa.array(out_c, type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
+
+    return corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).mapInArrow(score, f"query_id {qidt}, neighbor_id {idt}, cosine double")
 
 
 def make_hyperplane_udf(dim: int, n_bits: int = 128, seed: int = 42):
