@@ -993,8 +993,14 @@ def q_tree_contains(spark, sf_dir):
     from bigtrees_spark.operators.find import contains_hash
 
     d = _docs(spark, sf_dir).select("doc_id", F.sha2("text", 256).alias("sha256"))
-    hit0 = d.where(F.col("doc_id") == 0).select("sha256").first()[0]
-    hit17 = d.where(F.col("doc_id") == 17).select("sha256").first()[0]
+    row0 = d.where(F.col("doc_id") == 0).select("sha256").first()
+    row17 = d.where(F.col("doc_id") == 17).select("sha256").first()
+    assert row0 is not None and row17 is not None, (
+        f"tree_contains probe docs missing from {sf_dir}: "
+        f"doc_id 0 {'present' if row0 else 'ABSENT'}, "
+        f"doc_id 17 {'present' if row17 else 'ABSENT'}"
+    )
+    hit0, hit17 = row0[0], row17[0]
     miss = hashlib.sha256(b"no-such-doc").hexdigest()
     rows = [(name, contains_hash(d, dig)) for name, dig in
             [("doc0", hit0), ("doc17", hit17), ("absent", miss)]]

@@ -129,7 +129,13 @@ def _skewcapped_pairs(
     if persisted is not None:
         # hand the cache handle to the caller: the output pair frame reads
         # `multi` lazily, so release belongs to whoever materializes it last
-        # (pipeline threads this into DedupResult.persisted)
+        # (pipeline threads this into DedupResult.persisted).  Without a
+        # list the handle is deliberately NOT self-released (unlike
+        # connected_components' pre-contraction map, whose hot consumers
+        # run before it returns): every consumer of this cache is in the
+        # RETURNED lazy frame, so an early release would recompute the
+        # window once per branch — direct callers that loop must pass
+        # `persisted` and release after materializing (ADVICE r05).
         persisted.append(multi)
     if ctx is not None:
         # n_buckets counts multi-occupancy buckets (the ones that can pair)

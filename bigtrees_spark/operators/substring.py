@@ -143,7 +143,11 @@ def substring_edges(
 
     persisted (optional list): internal persist() handles (the skew-capped
     pairing cache and, on the sliced path, the per-pair extend cache) are
-    appended so the caller can release them after the edges materialize."""
+    appended so the caller can release them after the edges materialize.
+    Without a list the handles stay cached for the session (they serve the
+    returned lazy frame, so self-release here would force recomputation) —
+    looping callers must pass `persisted` and unpersist after their last
+    read, as bench.py's substring leg does (ADVICE r05)."""
     fps = winnow_table(docs, cfg)
 
     # shared skew-capped pairing core (lsh._skewcapped_pairs): item carries
