@@ -240,21 +240,21 @@ def verify_pairs(
     sigs = docs_fp.select("url", "minhash")
 
     # estimated Jaccard = fraction of agreeing MinHash slots — zip_with +
-    # aggregate fold.  A static 128-term GetArrayItem chain (the ann-style
-    # rewrite) was tried in round 6 and REVERTED: at n_perms=128 the
-    # generated code blew up janino compilation (a 3.7 s driver stall and a
-    # 4 s first-task compile per executor, vs ~0.3 s total for the
-    # interpreted fold) — the static-chain trick pays at 64 doubles but
-    # inverts at 128 slots under the extra when()/null guards.
-    est = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.greatest(F.size(a), F.lit(1))
+    # aggregate fold, parsed from ONE SQL string: the python-lambda form
+    # builds the same expression through dozens of py4j round trips
+    # (~100 ms of driver time per pipeline construction).  A static
+    # 128-term GetArrayItem chain (the ann-style rewrite) was tried in
+    # round 6 and REVERTED: at n_perms=128 the generated code blew up
+    # janino compilation (a 3.7 s driver stall and a 4 s first-task compile
+    # per executor, vs ~0.3 s total for the interpreted fold).
+    est_expr = F.expr(
+        "aggregate(zip_with(sig_l, sig_r, (x, y) -> cast((x = y) as int)), "
+        "0, (acc, x) -> acc + x) / greatest(size(sig_l), 1)"
+    )
     pre = (
         pairs.join(sigs.withColumnsRenamed({"url": "url_l", "minhash": "sig_l"}), "url_l")
         .join(sigs.withColumnsRenamed({"url": "url_r", "minhash": "sig_r"}), "url_r")
-        .withColumn("est_j", est(F.col("sig_l"), F.col("sig_r")))
+        .withColumn("est_j", est_expr)
         .where(F.col("est_j") >= F.lit(max(0.0, cfg.jaccard_threshold - sig_prefilter_margin)))
         .select("url_l", "url_r")
         # FUSED with the exact stage (round 6): the prefilter's survivors

@@ -40,10 +40,24 @@ class DedupResult:
     # value on the MinHash path and null on simhash/extra-edge rows (those
     # sources verify by Hamming distance / upstream logic, not Jaccard)
     clusters: DataFrame     # url, cluster_id (every input url)
-    report: DataFrame       # cluster_id, n_members, savings, members
+    _report_thunk: object = None  # zero-arg builder; see `report`
     persisted: tuple = ()   # EVERY frame this run persist()ed: docs_fp,
     # winners, plus the internal materialization points (LSH pairing cache,
     # verify prefilter, simhash pairing cache, CC pre-contraction map)
+    _report_df: DataFrame | None = None
+
+    @property
+    def report(self) -> DataFrame:
+        """cluster_id, n_members, savings, members — built on first access.
+
+        The three-level salted report aggregation is ~120 ms of driver-side
+        DataFrame construction (py4j round trips, no cluster work); callers
+        that only need clusters (the bench's dedup leg, the flagship entry)
+        were paying it per run without ever executing the frame, so the
+        builder is deferred.  Same frame, same schema, once per result."""
+        if self._report_df is None:
+            self._report_df = self._report_thunk()
+        return self._report_df
 
     def unpersist(self) -> None:
         """Release every cache this pipeline run created — docs_fp, the
@@ -183,13 +197,13 @@ def near_dedup_pipeline(
         "url", "cluster_id"
     ).unionByName(err_fp.select("url", F.col("url").alias("cluster_id")))
 
-    report = cluster_report(clusters, docs_fp.select("url", "nbytes"))
-
     return DedupResult(
         docs_fp=docs_fp,
         edges=edges,
         clusters=clusters,
-        report=report,
+        _report_thunk=lambda: cluster_report(
+            clusters, docs_fp.select("url", "nbytes")
+        ),
         # internal materialization caches (LSH pairing / verify prefilter /
         # simhash pairing / CC pre-contraction map) are eagerly populated
         # during this call, so they are tracked even when persist=False —
