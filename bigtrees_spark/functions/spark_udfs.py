@@ -82,6 +82,14 @@ def fingerprint_row(
         return sig.astype(np.int32).tolist(), 0, bands.tolist(), 0, [], sanitize_err(e)
 
 
+# UDF-object caches: building a pandas_udf is driver-side py4j churn
+# (~10-30 ms each) paid per operator call; the wrapped functions are pure
+# functions of the frozen (hashable) config, so one object per config serves
+# every call in the process.  Identical UDFs by construction.
+_FINGERPRINT_UDFS: dict = {}
+_WINNOW_UDFS: dict = {}
+
+
 def make_fingerprint_udf(
     cfg: FingerprintConfig = DEFAULT_CONFIG, compute_simhash: bool = True
 ):
@@ -94,6 +102,9 @@ def make_fingerprint_udf(
     pass compute_simhash=False (column stays, filled with 0 for schema
     stability).
     """
+    cached = _FINGERPRINT_UDFS.get((cfg, compute_simhash))
+    if cached is not None:
+        return cached
 
     @F.pandas_udf(FINGERPRINT_SCHEMA)
     def fingerprint(texts: pd.Series) -> pd.DataFrame:
@@ -118,6 +129,7 @@ def make_fingerprint_udf(
             }
         )
 
+    _FINGERPRINT_UDFS[(cfg, compute_simhash)] = fingerprint
     return fingerprint
 
 
@@ -177,6 +189,9 @@ WINNOW_SCHEMA = ArrayType(
 def make_winnow_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
     """pandas UDF: text -> array<struct<fp,pos>> winnowing fingerprints
     (substring-duplicate pass, SURVEY.md G4)."""
+    cached = _WINNOW_UDFS.get(cfg)
+    if cached is not None:
+        return cached
 
     @F.pandas_udf(WINNOW_SCHEMA)
     def winnow(texts: pd.Series) -> pd.Series:
@@ -187,6 +202,7 @@ def make_winnow_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
             ]
         )
 
+    _WINNOW_UDFS[cfg] = winnow
     return winnow
 
 

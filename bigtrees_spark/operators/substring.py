@@ -82,10 +82,21 @@ _SLICED_EXTEND_SCHEMA = StructType(
 )
 
 
+# driver-side construction caches keyed by the frozen (hashable) config:
+# UDF registration and the slice-column expression set are pure functions of
+# cfg, and rebuilding them per call was pure py4j churn (OPTIMIZATION_r06.md)
+_SLICED_UDFS: dict = {}
+_FULL_UDFS: dict = {}
+_SLICE_COLS: dict = {}
+
+
 def make_sliced_extend_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
     """pandas UDF over byte SLICES: extend within substring(text, pos±W)
     windows; `sat` flags results truncated by a slice edge that is NOT a true
     text boundary (more_* args) — only those pairs re-extend on full texts."""
+    cached = _SLICED_UDFS.get(cfg)
+    if cached is not None:
+        return cached
 
     @F.pandas_udf(_SLICED_EXTEND_SCHEMA)
     def extend_sliced(
@@ -111,12 +122,16 @@ def make_sliced_extend_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
             )
         return pd.DataFrame({"mlen": pd.Series(mlens, dtype="int32"), "sat": sats})
 
+    _SLICED_UDFS[cfg] = extend_sliced
     return extend_sliced
 
 
 def make_full_extend_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
     """pandas UDF: exact re-extend of window-saturated pairs on full byte
     texts, max over the pair's saturated seeds (<= 4)."""
+    cached = _FULL_UDFS.get(cfg)
+    if cached is not None:
+        return cached
 
     @F.pandas_udf(IntegerType())
     def extend_full(tb_l: pd.Series, tb_r: pd.Series, seeds: pd.Series) -> pd.Series:
@@ -130,6 +145,7 @@ def make_full_extend_udf(cfg: FingerprintConfig = DEFAULT_CONFIG):
             out.append(best)
         return pd.Series(out, dtype="int32")
 
+    _FULL_UDFS[cfg] = extend_full
     return extend_full
 
 
@@ -210,13 +226,16 @@ def substring_edges(
     ).withColumn("ln", F.octet_length("tb"))
 
     def _slice_cols(side: str) -> list:
+        cached = _SLICE_COLS.get((cfg, side))
+        if cached is not None:
+            return cached
         pos = F.col(f"pos_{side}")
         whole = F.col("ln") <= F.lit(slice_len)
         start = F.when(whole, F.lit(0)).otherwise(F.greatest(pos - W, F.lit(0)))
         sl = F.when(whole, F.col("tb")).otherwise(
             F.substring("tb", start + 1, F.lit(slice_len))
         )
-        return [
+        cols = [
             sl.alias(f"sl_{side}"),
             (pos - start).alias(f"rel_{side}"),
             (~whole & (start > 0)).alias(f"more_{side}l"),
@@ -224,6 +243,8 @@ def substring_edges(
                 f"more_{side}r"
             ),
         ]
+        _SLICE_COLS[(cfg, side)] = cols
+        return cols
 
     extend_sliced = make_sliced_extend_udf(cfg)
     scored = (
