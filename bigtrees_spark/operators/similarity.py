@@ -22,7 +22,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from bigtrees_spark.config import DEFAULT_CONFIG, FingerprintConfig
 
 
 def _dot(a, b):  # Column helper: dot product of two float arrays
